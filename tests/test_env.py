@@ -1,0 +1,91 @@
+"""Batched env unit tests (port of reference tests/test_env.py semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from jolineedle_tpu.env import Action, NeedleEnv
+
+
+def make_env(stop_enabled=False, max_ep_len=8):
+    images = np.zeros((1, 1792, 2240, 3), np.float32)
+    images[:, 0:448, 448:896, 0] = 1.0
+    bboxes = np.array([[[310, 810, 400, 850], [700, 1500, 800, 1600]]], np.float32)
+    return NeedleEnv(
+        images=jnp.asarray(images),
+        bboxes=jnp.asarray(bboxes),
+        patch_size=448,
+        max_ep_len=max_ep_len,
+        n_glimps_levels=1,
+        stop_enabled=stop_enabled,
+    )
+
+
+def test_env_positions():
+    env = make_env()
+    state, patches, infos = env.reset(positions=jnp.array([[1, 0]]))
+    assert np.array_equal(np.asarray(infos["positions"]), [[1, 0]])
+    assert patches.shape == (1, 1, 448, 448, 3)
+
+    state, *_ = env.step(state, jnp.array([Action.RIGHT.value]))
+    state, *_ = env.step(state, jnp.array([Action.DOWN.value]))
+    state, patches, rewards, term, trunc, infos = env.step(
+        state, jnp.array([Action.DOWN.value])
+    )
+    assert np.array_equal(np.asarray(infos["positions"]), [[3, 1]])
+
+
+def test_env_border_clamp():
+    env = make_env()
+    state, _, _ = env.reset(positions=jnp.array([[0, 0]]))
+    state, *_ = env.step(state, jnp.array([Action.LEFT_UP.value]))
+    assert np.array_equal(np.asarray(state.positions), [[0, 0]])
+
+
+def test_env_rewards_and_termination():
+    env = make_env(max_ep_len=8)
+    # Box 1 [x1=310, y1=810, x2=400, y2=850] -> patch (row 1, col 0).
+    # Box 2 [x1=700, y1=1500, x2=800, y2=1600] -> patch (row 3, col 1).
+    mask = np.asarray(env.bbox_masks[0])
+    assert mask[1, 0] and mask[3, 1]
+    assert mask.sum() == 2
+
+    state, _, _ = env.reset(positions=jnp.array([[0, 0]]))
+    state, _, rewards, term, trunc, _ = env.step(
+        state, jnp.array([Action.DOWN.value])
+    )
+    # New bbox patch: +1 plus the -1/max_ep_len step cost.
+    assert np.allclose(np.asarray(rewards), 1.0 - 1.0 / 8)
+    assert not bool(term[0])
+
+    # Revisit: no +1.
+    state, _, rewards, *_ = env.step(state, jnp.array([Action.UP.value]))
+    state, _, rewards, *_ = env.step(state, jnp.array([Action.DOWN.value]))
+    assert np.allclose(np.asarray(rewards), -1.0 / 8)
+
+    # Visit the second bbox patch: terminated (all bbox patches visited).
+    state, _, _, term, *_ = env.step(state, jnp.array([Action.RIGHT_DOWN.value]))
+    state, _, rewards, term, *_ = env.step(state, jnp.array([Action.DOWN.value]))
+    assert np.allclose(np.asarray(rewards), 1.0 - 1.0 / 8)
+    assert bool(term[0])
+
+
+def test_env_stop_rewards():
+    env = make_env(stop_enabled=True)
+    state, _, _ = env.reset(positions=jnp.array([[0, 0]]))
+    # Stop immediately without finding anything: penalty = 0 - 2 = -2.
+    state, _, rewards, term, *_ = env.step(state, jnp.array([Action.STOP.value]))
+    assert bool(term[0])
+    assert np.allclose(np.asarray(rewards), -2.0 - 1.0 / 8)
+
+
+def test_masked_step_freezes():
+    env = make_env()
+    state, _, _ = env.reset(positions=jnp.array([[1, 1]]))
+    frozen = jnp.array([True])
+    new_state, _, rewards, *_ = env.masked_step(
+        state, jnp.array([Action.RIGHT.value]), frozen
+    )
+    assert np.array_equal(
+        np.asarray(new_state.positions), np.asarray(state.positions)
+    )
+    assert np.allclose(np.asarray(rewards), 0.0)
