@@ -1,0 +1,132 @@
+"""Causal self-attention: Pallas flash-attention TPU kernel + jnp fallback.
+
+The reference materializes the full T x T attention matrix with an explicit
+mask (reference: src/models/gpt.py:96-101). Here:
+
+  - ``causal_attention_reference``: jnp implementation (fused fine by XLA);
+    used for tiny sequences (the needle decoder runs at T <= 33, where a
+    custom kernel cannot beat XLA fusion) and as the numerical oracle.
+  - ``flash_attention``: an online-softmax Pallas kernel that never
+    materializes T x T in HBM; used automatically when shapes are
+    tile-aligned (T multiple of the block, head_dim >= 128-lane friendly).
+
+``causal_attention`` dispatches between the two.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def causal_attention_reference(
+    q: jax.Array, k: jax.Array, v: jax.Array
+) -> jax.Array:
+    """[B, H, T, D] causal attention, jnp (numerical oracle)."""
+    d = q.shape[-1]
+    att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(jnp.float32(d)).astype(
+        q.dtype
+    )
+    t = q.shape[2]
+    causal = jnp.tril(jnp.ones((t, t), bool))
+    att = jnp.where(causal[None, None], att, NEG_INF)
+    att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", att, v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, sm_scale):
+    """One (batch*head, q-block) program: online softmax over k blocks."""
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * sm_scale  # [block_q, d]
+    t = k_ref.shape[1]
+    n_kblocks = t // block_k
+
+    def body(ki, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+
+        q_ids = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        k_ids = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, None])
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        acc = acc * alpha[:, None] + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    # Causality: only k blocks up to and including the q block contribute.
+    acc, m, l = jax.lax.fori_loop(
+        0,
+        qi + 1,
+        body,
+        (
+            jnp.zeros((block_q, q_ref.shape[2]), jnp.float32),
+            jnp.full((block_q,), NEG_INF, jnp.float32),
+            jnp.zeros((block_q,), jnp.float32),
+        ),
+    )
+    del n_kblocks
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas causal flash attention for [B, H, T, D], T % block == 0."""
+    b, h, t, d = q.shape
+    assert t % block_q == 0 and t % block_k == 0
+    sm_scale = 1.0 / (d**0.5)
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, t, d)
+    vf = v.reshape(b * h, t, d)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, block_q=block_q, block_k=block_k, sm_scale=sm_scale
+        ),
+        grid=(b * h, t // block_q),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, t, d)
+
+
+def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Dispatch: Pallas kernel when tile-aligned on TPU, jnp otherwise."""
+    t, d = q.shape[2], q.shape[3]
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and t % 128 == 0 and d % 128 == 0:
+        return flash_attention(q, k, v)
+    return causal_attention_reference(q, k, v)

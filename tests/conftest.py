@@ -1,19 +1,19 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Multi-chip TPU hardware is not required to test sharding: XLA's CPU backend
-exposes N virtual devices via ``--xla_force_host_platform_device_count``
-(SURVEY.md section 4's recommendation, a capability the reference lacks —
-its tests pin ``--devices 0``, reference: tests/test_sup.py:44).
+exposes N virtual devices (SURVEY.md section 4's recommendation, a capability
+the reference lacks — its tests pin ``--devices 0``, reference:
+tests/test_sup.py:44).
+
+The environment presets ``JAX_PLATFORMS=axon`` (a tunneled TPU) and pytest's
+import graph latches jax's config before conftest runs, so plain env-var
+overrides are too late — we update the live jax config instead.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 
 def pytest_addoption(parser):

@@ -1,0 +1,115 @@
+"""Ops tests: Pallas flash attention vs jnp oracle, NMS variants, SimOTA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jolineedle_tpu.ops.attention import (
+    causal_attention_reference,
+    flash_attention,
+)
+from jolineedle_tpu.ops.nms import nms_mask, nms_numpy, postprocess
+from jolineedle_tpu.ops.simota import (
+    cxcywh_to_xyxy,
+    pairwise_iou_cxcywh,
+    simota_assign,
+    xyxy_to_cxcywh,
+)
+
+
+def test_flash_attention_matches_reference():
+    key = jax.random.PRNGKey(0)
+    b, h, t, d = 2, 2, 256, 128
+    q, k, v = (
+        jax.random.normal(kk, (b, h, t, d), jnp.float32)
+        for kk in jax.random.split(key, 3)
+    )
+    ref = causal_attention_reference(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_nms_numpy():
+    boxes = np.array(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]], np.float64
+    )
+    scores = np.array([0.9, 0.8, 0.7])
+    keep = nms_numpy(boxes, scores, 0.5)
+    assert list(keep) == [0, 2]
+
+
+def test_nms_mask_matches_numpy():
+    rng = np.random.default_rng(0)
+    boxes = rng.uniform(0, 100, (16, 2))
+    boxes = np.concatenate([boxes, boxes + rng.uniform(5, 30, (16, 2))], axis=1)
+    scores = rng.uniform(0, 1, 16)
+    keep_np = set(nms_numpy(boxes, scores, 0.5).tolist())
+    keep_jax = np.where(
+        np.asarray(
+            nms_mask(
+                jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(16, bool), 0.5
+            )
+        )
+    )[0]
+    assert set(keep_jax.tolist()) == keep_np
+
+
+def test_postprocess_threshold_and_clamp():
+    boxes = np.array([[[50, 50, 40, 40], [200, 200, 500, 500]]], np.float32)
+    obj = np.array([[0.9, 0.8]], np.float32)
+    cls = np.array([[[0.9], [0.05]]], np.float32)
+    out = postprocess(boxes, obj, cls, conf_threshold=0.5, patch_size=224)
+    assert out[0].shape[0] == 1  # second box below conf
+    assert out[0][0, 2] <= 223  # clamped
+
+    out = postprocess(boxes, obj, cls, conf_threshold=0.99)
+    assert out[0] is None
+
+
+def test_box_conversions_roundtrip():
+    boxes = jnp.array([[10.0, 20.0, 30.0, 60.0]])
+    assert np.allclose(cxcywh_to_xyxy(xyxy_to_cxcywh(boxes)), boxes)
+
+
+def test_simota_assigns_center_anchor():
+    # Single gt box centered in a 64px patch, strides 8/16/32.
+    from jolineedle_tpu.models.yolox import make_grids_and_strides
+
+    grids, strides = make_grids_and_strides(64)
+    A = grids.shape[0]
+    # Perfect predictions at every anchor: box = gt everywhere.
+    gt = jnp.array([[32.0, 32.0, 20.0, 20.0]])
+    pred = jnp.broadcast_to(gt[0], (A, 4))
+    fg, matched_gt, matched_iou = simota_assign(
+        pred,
+        jnp.zeros((A,)),
+        jnp.zeros((A, 1)),
+        gt,
+        jnp.zeros((1,), jnp.int32),
+        jnp.ones((1,), bool),
+        grids,
+        strides,
+    )
+    assert int(fg.sum()) >= 1
+    # All assigned anchors have IoU 1 with the gt.
+    assert np.allclose(np.asarray(matched_iou)[np.asarray(fg)], 1.0)
+
+    # Invalid gt -> no assignment.
+    fg2, _, _ = simota_assign(
+        pred,
+        jnp.zeros((A,)),
+        jnp.zeros((A, 1)),
+        gt,
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1,), bool),
+        grids,
+        strides,
+    )
+    assert int(fg2.sum()) == 0
+
+
+def test_pairwise_iou():
+    a = jnp.array([[50.0, 50.0, 20.0, 20.0]])
+    b = jnp.array([[50.0, 50.0, 20.0, 20.0], [100.0, 100.0, 10.0, 10.0]])
+    iou = pairwise_iou_cxcywh(a, b)
+    assert np.allclose(np.asarray(iou), [[1.0, 0.0]])
