@@ -1,0 +1,55 @@
+"""Checkpointing: last/best single-file checkpoints + metrics/config JSON.
+
+Same on-disk layout semantics as the reference (reference:
+src/trainer.py:92-136, main.py:532-584): ``checkpoint.msgpack`` every test
+cycle, ``checkpoint_best.msgpack`` on best-metric peaks, ``best_model.txt``
+with index and value, ``metrics.json``, ``config.json``. The torch
+``state_dict`` pickle is replaced by flax msgpack serialization of the full
+train-state pytree (params + batch stats + both optimizer partitions).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+from flax import serialization
+
+CKPT_LAST = "checkpoint.msgpack"
+CKPT_BEST = "checkpoint_best.msgpack"
+
+
+def save_checkpoint(path, state: Any):
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    state = jax.device_get(state)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(state))
+
+
+def load_checkpoint(path, target: Any) -> Any:
+    """Restore into a template pytree (a freshly-initialized state)."""
+    with open(Path(path), "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+def load_params_only(path, target_state: Any) -> Any:
+    """Restore only model params/batch_stats (e.g. best-ckpt revalidation,
+    reference: src/trainer.py:138-165)."""
+    restored = load_checkpoint(path, target_state)
+    return target_state.replace(
+        params=restored.params, batch_stats=restored.batch_stats
+    )
+
+
+def load_detection_params(path, target_state: Any) -> Any:
+    """Graft only the ``yolox`` param subtree from another checkpoint
+    (reference: main.py:565-584 ``--detection-checkpoint``)."""
+    restored = load_checkpoint(path, target_state)
+    params = dict(target_state.params)
+    params["yolox"] = restored.params["yolox"]
+    batch_stats = dict(target_state.batch_stats)
+    if "yolox" in restored.batch_stats:
+        batch_stats["yolox"] = restored.batch_stats["yolox"]
+    return target_state.replace(params=params, batch_stats=batch_stats)

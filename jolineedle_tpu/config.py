@@ -302,6 +302,7 @@ def args_to_config(args) -> tuple:
     # XXX parity quirk: 2064 is the reference dataset image width
     # (reference: main.py:364-366)
     train_config.image_cols = math.ceil(2064 / train_config.patch_size)
+    train_config.freeze_image_processor = args.freeze_image_processor
     train_config.compute_dtype = args.compute_dtype
     train_config.max_det_patches = args.max_det_patches
     train_config.max_boxes = args.max_boxes

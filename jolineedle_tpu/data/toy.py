@@ -1,0 +1,62 @@
+"""Toy dataset generator for tests and smoke runs.
+
+The reference integration tests download a hosted "toy LARD" archive
+(reference: tests/test_common.py:5-27); we generate an equivalent dataset
+locally instead (SURVEY.md section 4): noisy aerial-like backgrounds with one
+or more bright "runway" rectangles whose bounding boxes are the targets.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+
+def generate_toy_dataset(
+    out_dir,
+    n_train: int = 8,
+    n_test: int = 4,
+    image_size: tuple = (896, 1120),
+    max_boxes: int = 2,
+    seed: int = 0,
+) -> Path:
+    """Write images + bbox txts + train.txt/test.txt; returns the dir."""
+    out_dir = Path(out_dir)
+    (out_dir / "images").mkdir(parents=True, exist_ok=True)
+    (out_dir / "bboxes").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    h, w = image_size
+
+    def make_one(name: str) -> tuple:
+        img = rng.integers(40, 90, (h, w, 3), dtype=np.uint8)
+        # Low-frequency texture.
+        coarse = rng.integers(0, 60, (h // 32, w // 32, 3), dtype=np.uint8)
+        img = img + np.kron(coarse, np.ones((32, 32, 1), dtype=np.uint8))
+        boxes = []
+        for _ in range(int(rng.integers(1, max_boxes + 1))):
+            bw = int(rng.integers(30, 120))
+            bh = int(rng.integers(30, 120))
+            x1 = int(rng.integers(0, w - bw))
+            y1 = int(rng.integers(0, h - bh))
+            img[y1 : y1 + bh, x1 : x1 + bw] = np.array(
+                [200, 200, 210], np.uint8
+            ) + rng.integers(0, 40, (bh, bw, 3), dtype=np.uint8)
+            boxes.append((0, x1, y1, x1 + bw, y1 + bh))
+        img_path = out_dir / "images" / f"{name}.png"
+        bbox_path = out_dir / "bboxes" / f"{name}.txt"
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(img_path)
+        with open(bbox_path, "w") as f:
+            for cls, x1, y1, x2, y2 in boxes:
+                f.write(f"{cls} {x1} {y1} {x2} {y2}\n")
+        return img_path, bbox_path
+
+    for split, n in (("train", n_train), ("test", n_test)):
+        lines = []
+        for i in range(n):
+            ip, bp = make_one(f"{split}_{i}")
+            lines.append(f"images/{ip.name} bboxes/{bp.name}\n")
+        with open(out_dir / f"{split}.txt", "w") as f:
+            f.writelines(lines)
+    return out_dir

@@ -378,3 +378,11 @@ class GPT(nn.Module):
     def yolox_outputs(self, patches: jax.Array, train: bool = False):
         """Raw YOLOX head outputs on [B, P, P, C] patches."""
         return self.yolox(patches.astype(self.compute_dtype), train)
+
+    def init_all(self, patches, actions, classes, positions, det_patches):
+        """Initialization entry point touching every submodule (the plain
+        forward never runs the YOLOX head, so ``init`` on it alone would
+        leave the head without params)."""
+        out = self(patches, actions, classes, positions)
+        det = self.yolox_outputs(det_patches)
+        return out, det

@@ -1,0 +1,68 @@
+"""Device mesh construction and sharding helpers.
+
+Replaces the reference's process-per-GPU DDP/NCCL stack (reference:
+main.py:428-433 ``mp.spawn``, src/trainer.py:61-71 ``init_process_group``)
+with single-program GSPMD: one ``Mesh`` with a ``data`` axis, batches sharded
+on it, parameters replicated; XLA inserts the gradient all-reduce over ICI.
+Multi-host extends via ``jax.distributed.initialize`` (no rendezvous code
+needed here).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(device_ids: Optional[Sequence[int]] = None) -> Mesh:
+    """1D data-parallel mesh over the given device indices (default: all).
+
+    ``device_ids`` keeps CLI parity with the reference's ``--devices`` flag.
+    """
+    devices = jax.devices()
+    if device_ids is not None:
+        picked = [devices[i] for i in device_ids if i < len(devices)]
+        if picked:
+            devices = picked
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Device-put a host batch with the leading dim sharded over data."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
+    """Zero-pad the leading dim so it divides the mesh (masks make the
+    padding inert downstream — caller must carry a validity mask)."""
+    import numpy as _np
+
+    def _pad(x):
+        b = x.shape[0]
+        pad = (-b) % multiple
+        if pad == 0:
+            return x
+        return _np.concatenate([x, _np.zeros((pad,) + x.shape[1:], x.dtype)])
+
+    return {k: _pad(v) for k, v in batch.items()}

@@ -1,0 +1,155 @@
+"""Host-side batch assembly for the supervised pipeline.
+
+Replaces the reference's per-iteration trajectory generation (reference:
+src/supervised.py:95-136) + ragged collate (src/env/simple_env.py:720-763)
+with fixed-shape numpy batches: the oracle runs in numpy (pure grid
+geometry), patch pixels are gathered by vectorized slicing, and everything
+is padded to static caps (max_seq_len, max_det_patches, max_boxes) so one
+compiled train step serves every batch.
+
+A tiny thread-based prefetcher overlaps host batch assembly with device
+compute (the reference is disk/CPU-bound at ~3 s/iter,
+reference docs/experiment_log.md:76-78).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from ..data.dataset import NeedleDataset
+from ..env.oracle import (
+    OracleEnv,
+    detection_patch_positions,
+    gather_patches,
+    generate_sample,
+)
+
+
+def build_supervised_sample(
+    item: dict,
+    patch_size: int,
+    max_seq_len: int,
+    min_keypoints: int,
+    max_keypoints: int,
+    binomial_keypoints: bool,
+    max_det_patches: int,
+    max_boxes: int,
+    rng: np.random.Generator,
+    position=None,
+) -> Dict[str, np.ndarray]:
+    """One image -> fixed-shape oracle episode + detector patches."""
+    image = item["image"]  # [H, W, C] float32
+    boxes = np.asarray(item["bboxes"], np.float64).reshape(-1, 4)
+    env = OracleEnv(image.shape[:2], patch_size, boxes, rng)
+
+    sample = generate_sample(
+        env,
+        max_seq_len,
+        min_keypoints=min_keypoints,
+        max_keypoints=max_keypoints,
+        binomial_keypoints=binomial_keypoints,
+        position=position,
+        max_boxes=max_boxes,
+    )
+    sample["patches"] = gather_patches(image, sample["positions"], patch_size)
+    sample["class_id"] = np.int32(item["class_id"])
+
+    det_pos, det_valid = detection_patch_positions(env, max_det_patches)
+    det_patches = gather_patches(image, det_pos, patch_size)
+    det_boxes = np.zeros((max_det_patches, max_boxes, 6), np.float32)
+    for i in range(max_det_patches):
+        if det_valid[i]:
+            local = env.local_bboxes(tuple(det_pos[i]))
+            k = min(len(local), max_boxes)
+            det_boxes[i, :k] = local[:k]
+    sample["patches_yolox"] = det_patches * det_valid[:, None, None, None]
+    sample["bboxes_yolox"] = det_boxes
+    sample["yolox_valid"] = det_valid
+    return sample
+
+
+def build_supervised_batch(
+    dataset: NeedleDataset,
+    indices,
+    config,
+    rng: np.random.Generator,
+) -> Dict[str, np.ndarray]:
+    samples = []
+    for idx in indices:
+        item = dataset[int(idx)]
+        samples.append(
+            build_supervised_sample(
+                item,
+                patch_size=config.patch_size,
+                max_seq_len=config.max_seq_len,
+                min_keypoints=config.min_keypoints,
+                max_keypoints=config.max_keypoints,
+                binomial_keypoints=config.binomial_keypoints,
+                max_det_patches=config.max_det_patches,
+                max_boxes=config.max_boxes,
+                rng=rng,
+            )
+        )
+    batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+    # Reference actions (loss mode, reference: src/supervised.py:870-879).
+    if getattr(config, "loss_mode", "on-optimal-trajectory") == "on-self-trajectory":
+        cur, nxt, masks = (
+            batch["current_actions"],
+            batch["next_actions"],
+            batch["masks"],
+        )
+        ref = np.zeros_like(cur)
+        ref[:, :-1] = cur[:, 1:]
+        last = masks.sum(axis=1).astype(np.int64) - 1
+        ref[np.arange(len(ref)), last] = nxt[np.arange(len(ref)), last]
+        batch["reference_actions"] = ref
+    else:
+        batch["reference_actions"] = batch["next_actions"]
+    return batch
+
+
+class Prefetcher:
+    """Background-thread batch producer with a bounded queue."""
+
+    def __init__(self, make_batch, n_prefetch: int = 2):
+        self._queue: queue.Queue = queue.Queue(maxsize=n_prefetch)
+        self._make_batch = make_batch
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                batch = self._make_batch()
+            except StopIteration:
+                self._queue.put(None)
+                return
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator:
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is None:
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass

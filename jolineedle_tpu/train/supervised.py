@@ -1,0 +1,624 @@
+"""Supervised (imitation-learning) trainer.
+
+TPU redesign of the reference SupervisedTrainer (reference:
+src/supervised.py:41-911):
+
+  - Trajectory labels come from the numpy oracle in the input pipeline
+    (train/batching.py), prefetched on a background thread; the train step
+    itself — photometric augmentation, GPT forward, weighted action CE,
+    YOLOX SimOTA loss, two-partition AdamW with grad accumulation — is ONE
+    jitted function, sharded over the data mesh (grad all-reduce via GSPMD
+    instead of DDP, reference: src/supervised.py:815,899).
+  - Autoregressive eval runs the KV-cache decode path; the per-step optimal
+    action is derived directly from the greedy keypoint ordering instead of
+    simulating a full oracle episode per step (same value, reference:
+    src/supervised.py:301-309,340-348).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..env import Action
+from ..env.oracle import OracleEnv, gather_patches, move_towards
+from ..models.gpt import GPT
+from ..ops.augment import detection_augment
+from ..ops.nms import nms_numpy, postprocess
+from ..ops.simota import yolox_losses
+from ..parallel.mesh import shard_batch
+from ..utils.geometry import (
+    BBox,
+    Position,
+    parse_bbox_predictions,
+    parse_bbox_targets,
+)
+from ..utils.metrics import average_precision_50
+from ..utils.plotting import plot_model_prediction
+from .batching import Prefetcher, build_supervised_batch, build_supervised_sample
+from .trainer import Trainer, TrainState
+
+
+def action_ce_metrics(logits, targets, masks, class_weight):
+    """Weighted CE + accuracy over non-padding tokens (reference:
+    src/supervised.py:138-198)."""
+    n_act = logits.shape[-1]
+    logits = logits.reshape(-1, n_act)
+    targets = targets.reshape(-1)
+    mask = masks.reshape(-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+    nll = -jnp.take_along_axis(logp, targets[:, None], axis=1)[:, 0]
+    nll = nll * class_weight[targets]
+    denom = jnp.maximum(mask.sum(), 1.0)
+    action_loss = (nll * mask).sum() / denom
+    accuracy = ((logits.argmax(-1) == targets) * mask).sum() / denom
+    return action_loss, accuracy
+
+
+class SupervisedTrainer(Trainer):
+    best_metric_name = "map"
+
+    def __init__(self, config, model, logger, train_dataset, test_dataset, rank=0):
+        super().__init__(config, model, logger, train_dataset, test_dataset, rank)
+        n_act = self.actions_info[0].nclasses
+        weight = np.ones((n_act,), np.float32)
+        if config.stop_enabled:
+            weight[Action.STOP.value] = config.stop_weight
+        self.class_weight = jnp.asarray(weight)
+        self._train_step = self._build_train_step()
+
+    # --- jitted train step ----------------------------------------------------
+    def _build_train_step(self):
+        model, tx = self.model, self.tx
+        cfg = self.config
+        class_weight = self.class_weight
+        detection = cfg.detection_enabled
+
+        def loss_fn(params, batch_stats, batch, rng):
+            k_aug1, k_aug2, k_drop = jax.random.split(rng, 3)
+            patches = detection_augment(k_aug1, batch["patches"])
+
+            variables = {"params": params, "batch_stats": batch_stats}
+            (logits, _), mut = model.apply(
+                variables,
+                patches,
+                batch["current_actions"],
+                batch["class_id"],
+                batch["positions"],
+                train=True,
+                rngs={"dropout": k_drop},
+                mutable=["batch_stats"],
+            )
+            action_loss, accuracy = action_ce_metrics(
+                logits, batch["reference_actions"], batch["masks"], class_weight
+            )
+            loss = action_loss
+            metrics = {
+                "action_loss": action_loss,
+                "action_accuracy": accuracy,
+                "episode_length": batch["masks"].sum(axis=1).mean(),
+            }
+
+            stats = mut["batch_stats"]
+            if detection:
+                det = detection_augment(k_aug2, batch["patches_yolox"])
+                B, K = det.shape[:2]
+                flat = det.reshape((B * K,) + det.shape[2:])
+                (head_out, _), mut2 = model.apply(
+                    {"params": params, "batch_stats": stats},
+                    flat,
+                    True,
+                    method=GPT.yolox_outputs,
+                    mutable=["batch_stats"],
+                )
+                targets = batch["bboxes_yolox"].reshape(
+                    (B * K,) + batch["bboxes_yolox"].shape[2:]
+                )
+                valid = batch["yolox_valid"].reshape(-1)
+                ylo = yolox_losses(head_out, targets, valid)
+                loss = loss + ylo["total_loss"]
+                stats = mut2["batch_stats"]
+                for name, value in ylo.items():
+                    metrics[f"yolo_{name}"] = value
+                metrics["yolo_loss"] = ylo["total_loss"]
+
+            metrics["loss"] = loss
+            return loss, (metrics, stats)
+
+        def train_step(state: TrainState, batch, rng):
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (metrics, stats)), grads = grad_fn(
+                state.params, state.batch_stats, batch, rng
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=params,
+                batch_stats=stats,
+                opt_state=opt_state,
+                step=state.step + 1,
+            )
+            return new_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    # --- train loop (reference: src/supervised.py:812-911) --------------------
+    def run(self, rank: int = 0, world_size: int = 1, port: int = 0):
+        cfg = self.config
+        global_batch = cfg.batch_size * self.n_devices
+        dataset = self.train_dataset
+        order_rng = np.random.default_rng(cfg.seed)
+        data_rng = self.np_rng
+        key = jax.random.PRNGKey(cfg.seed)
+
+        if self.logger is not None:
+            self.logger.log_start(jax.device_get(self.state.params))
+
+        index_pool: List[int] = []
+
+        def next_batch():
+            nonlocal index_pool
+            while len(index_pool) < global_batch:
+                index_pool += order_rng.permutation(len(dataset)).tolist()
+            indices, index_pool = (
+                index_pool[:global_batch],
+                index_pool[global_batch:],
+            )
+            return build_supervised_batch(dataset, indices, cfg, data_rng)
+
+        prefetcher = Prefetcher(next_batch, n_prefetch=2)
+        try:
+            for self.iter_num in range(1, cfg.max_iters):
+                batch = next(prefetcher)
+                batch = shard_batch(self.mesh, batch)
+                key, step_key = jax.random.split(key)
+                self.state, metrics = self._train_step(
+                    self.state, batch, step_key
+                )
+                self.last_train_metrics = metrics
+
+                if self.iter_num % cfg.test_every == 0:
+                    self.test()
+        finally:
+            prefetcher.close()
+
+        self.prepare_validation()
+        self.test()
+
+    # --- autoregressive eval ---------------------------------------------------
+    @staticmethod
+    def optimal_next_action(env: OracleEnv) -> Action:
+        """Best next action from the greedy keypoint ordering — the value the
+        reference obtains by generating a full oracle episode from a cloned
+        env and reading its first label (reference:
+        src/supervised.py:301-309)."""
+        keypoints = env.build_keypoints_trajectory()
+        return env.remove_stop_action(move_towards(env.position, keypoints[0]))
+
+    def test_model_on_env(
+        self,
+        item: dict,
+        max_ep_len: int,
+        class_id: int,
+        sample_actions: bool = False,
+        position: Optional[Tuple[int, int]] = None,
+        env: Optional[OracleEnv] = None,
+        sample_rng: Optional[np.random.Generator] = None,
+    ) -> tuple:
+        """Greedy/sampled autoregressive rollout on one image using the
+        KV-cache decode path (reference: src/supervised.py:279-405)."""
+        cfg = self.config
+        image = item["image"]
+        boxes = np.asarray(item["bboxes"], np.float64).reshape(-1, 4)
+        if env is None:
+            env = OracleEnv(image.shape[:2], cfg.patch_size, boxes)
+        env.reset(position)
+
+        variables = self.eval_variables()
+        classes = jnp.array([class_id], jnp.int32)
+        cache = self._init_cache(variables, classes)
+
+        positions = [env.position]
+        actions_taken = [Action.LEFT.value]
+        true_actions = []
+        pred_logits = []
+        labels = [env.position in env.bbox_patches]
+
+        n_act = self.actions_info[0].nclasses
+        if sample_rng is None:
+            sample_rng = np.random.default_rng(0)
+
+        for index in range(1, max_ep_len):
+            patch = gather_patches(
+                image, np.array([positions[-1]], np.int32), cfg.patch_size
+            )
+            logits, cache = self._decode_step(
+                variables,
+                cache,
+                jnp.asarray(patch),
+                jnp.array([actions_taken[-1]], jnp.int32),
+                jnp.asarray(np.array([positions[-1]], np.int32)),
+                jnp.int32(index - 1),
+            )
+            logits = np.asarray(logits)[0]
+            if sample_actions:
+                p = np.exp(logits - logits.max())
+                p = p / p.sum()
+                action = int(sample_rng.choice(n_act, p=p))
+            else:
+                action = int(np.argmax(logits))
+
+            env.step(Action(action))
+            true_actions.append(self.optimal_next_action(env).value)
+            pred_logits.append(logits)
+            positions.append(env.position)
+            actions_taken.append(action)
+            labels.append(env.position in env.bbox_patches)
+
+            if action == Action.STOP.value:
+                break
+
+        # Detection on the visited patches (single batched call, unlike the
+        # reference's per-patch loop).
+        visited = np.array(positions, np.int32)
+        patches = gather_patches(image, visited, cfg.patch_size)
+        local_bboxes = np.zeros(
+            (len(visited), cfg.max_boxes, 6), np.float32
+        )
+        for i, pos in enumerate(visited):
+            local = env.local_bboxes(tuple(pos))
+            k = min(len(local), cfg.max_boxes)
+            local_bboxes[i, :k] = local[:k]
+
+        head_out = self._yolox_predict(variables, jnp.asarray(patches))
+        head_out = jax.device_get(head_out)
+        bbox_outs = postprocess(
+            head_out["boxes"],
+            jax.nn.sigmoid(head_out["obj_logits"]),
+            jax.nn.sigmoid(head_out["cls_logits"]),
+            conf_threshold=self.model.detector_conf_threshold,
+            patch_size=cfg.patch_size,
+        )
+        yolo_loss = jax.device_get(
+            yolox_losses(
+                jax.tree_util.tree_map(jnp.asarray, head_out),
+                jnp.asarray(local_bboxes),
+            )
+        )
+
+        metrics = {}
+        if pred_logits:
+            logits_arr = jnp.asarray(np.stack(pred_logits))[None]
+            targets_arr = jnp.asarray(np.array(true_actions))[None]
+            masks_arr = jnp.ones_like(targets_arr, jnp.float32)
+            al, acc = action_ce_metrics(
+                logits_arr, targets_arr, masks_arr, self.class_weight
+            )
+            metrics["action_loss"] = float(al)
+            metrics["action_accuracy"] = float(acc)
+        metrics["episode_length"] = float(len(positions))
+        for name, value in yolo_loss.items():
+            metrics[f"yolo_{name}"] = float(value)
+        metrics["yolo_loss"] = metrics["yolo_total_loss"]
+        metrics["loss"] = metrics.get("action_loss", 0.0) + metrics["yolo_loss"]
+        metrics["stopped_inside_bbox"] = float(labels[-1])
+        metrics["prop_patches_found"] = (
+            len(env.visited_bbox_patches) / len(env.bbox_patches)
+            if len(env.bbox_patches) > 0
+            else 0.0
+        )
+
+        sample = {
+            "positions": visited,
+            "patches": patches,
+            "masks": np.ones((len(visited),), np.float32),
+            "local_bboxes": local_bboxes,
+        }
+        return sample, metrics, bbox_outs
+
+    # --- multi-start aggregation (reference: src/supervised.py:569-636) --------
+    def _per_patch_map(self, env, samples, bboxes) -> dict:
+        """mAP over visited patches, multi-start predictions NMS-deduped;
+        missing bbox patches counted as false negatives (reference:
+        src/supervised.py:485-567)."""
+        visited = {tuple(p) for s in samples for p in s["positions"]}
+        predicted: Dict[tuple, list] = {}
+        for sample, bbs in zip(samples, bboxes):
+            for pos, bb in zip(sample["positions"], bbs):
+                if bb is None:
+                    continue
+                predicted.setdefault(tuple(pos), []).append(np.asarray(bb))
+
+        pred_boxes, pred_scores, gt_boxes = [], [], []
+
+        def add_patch(pos, preds):
+            local = env.local_bboxes(pos)
+            gt = local[local[:, 5] == 1][:, 1:5]
+            if preds is None or len(preds) == 0:
+                pred_boxes.append(np.zeros((0, 4)))
+                pred_scores.append(np.zeros((0,)))
+            else:
+                preds = np.concatenate(preds)
+                keep = nms_numpy(preds[:, :4], preds[:, 4] * preds[:, 5], 0.5)
+                pred_boxes.append(preds[keep, :4])
+                pred_scores.append(preds[keep, 4] * preds[keep, 5])
+            gt_boxes.append(gt)
+
+        for pos in sorted(visited):
+            add_patch(pos, predicted.get(pos))
+        # Missed bbox patches => pure false negatives.
+        for pos in sorted(env.bbox_patches - visited):
+            add_patch(pos, None)
+
+        return {
+            "map": average_precision_50(pred_boxes, pred_scores, gt_boxes)
+            if sum(len(g) for g in gt_boxes) > 0
+            else 0.0
+        }
+
+    # --- full evaluation (reference: src/supervised.py:638-810) ----------------
+    def eval_envs(
+        self,
+        dataset,
+        env_ids,
+        eval_mode: str = "multistart",
+        sample_actions: bool = False,
+    ):
+        visual_ids = set(
+            self.rng.choice(
+                np.arange(len(env_ids)), size=min(6, len(env_ids)), replace=False
+            ).tolist()
+        )
+        prediction_images = {"model_images": [], "sample_images": []}
+        all_metrics = defaultdict(list)
+        cfg = self.config
+
+        for loop_id, env_id in enumerate(env_ids):
+            seed = loop_id
+            item = dataset.__getitem__(int(env_id), np.random.default_rng(seed))
+            boxes = np.asarray(item["bboxes"], np.float64).reshape(-1, 4)
+            env = OracleEnv(
+                item["image"].shape[:2],
+                cfg.patch_size,
+                boxes,
+                np.random.default_rng(seed),
+            )
+
+            if eval_mode == "multistart":
+                positions = [None, None]
+            elif eval_mode == "rollouts":
+                positions = [env.position] * 2
+            else:  # corners
+                positions = [
+                    (0, 0),
+                    (env.patch_height - 1, 0),
+                    (0, env.patch_width - 1),
+                    (env.patch_height - 1, env.patch_width - 1),
+                ]
+
+            all_samples, all_bboxes = [], []
+            for i, position in enumerate(positions):
+                env.reset(position)
+                positions[i] = env.position
+                sample, metrics, bboxes = self.test_model_on_env(
+                    item,
+                    cfg.test_max_seq_len,
+                    item["class_id"],
+                    sample_actions,
+                    env.position,
+                    env=env,
+                    sample_rng=np.random.default_rng(seed),
+                )
+                all_samples.append(sample)
+                all_bboxes.append(bboxes)
+                for name, value in metrics.items():
+                    all_metrics[name].append(value)
+
+            for n_starts in range(1, len(positions) + 1):
+                m = self._per_patch_map(
+                    env, all_samples[:n_starts], all_bboxes[:n_starts]
+                )
+                suffix = f"_{eval_mode}_{n_starts}" if n_starts != 1 else ""
+                for name, value in m.items():
+                    all_metrics[f"{name}{suffix}"].append(value)
+                visited = {
+                    tuple(p) for s in all_samples[:n_starts] for p in s["positions"]
+                }
+                all_metrics[f"prop_patches_found_traj{suffix}"].append(
+                    len(visited & env.bbox_patches) / len(env.bbox_patches)
+                    if env.bbox_patches
+                    else 0.0
+                )
+
+            if loop_id in visual_ids:
+                sample, bboxes = all_samples[0], all_bboxes[0]
+                offsets = sample["positions"][:, [1, 0]] * cfg.patch_size
+                true_b = parse_bbox_targets(
+                    sample["local_bboxes"], sample["positions"], cfg.patch_size
+                )
+                pred_b = parse_bbox_predictions(
+                    bboxes, sample["positions"], cfg.patch_size
+                )
+                del offsets
+                prediction_images["model_images"].append(
+                    plot_model_prediction(
+                        item["image"],
+                        sample["patches"],
+                        sample["positions"],
+                        true_bboxes=true_b,
+                        predicted_bboxes=pred_b,
+                    )
+                )
+                # Oracle sample visualization.
+                from ..env.oracle import generate_sample
+
+                gen = generate_sample(
+                    env,
+                    max_ep_len=env.patch_width * env.patch_height,
+                    min_keypoints=dataset.min_keypoints,
+                    max_keypoints=dataset.max_keypoints,
+                    binomial_keypoints=dataset.binomial_keypoints,
+                    position=positions[0],
+                )
+                n = int(gen["masks"].sum())
+                prediction_images["sample_images"].append(
+                    plot_model_prediction(
+                        item["image"],
+                        gather_patches(
+                            item["image"], gen["positions"][:n], cfg.patch_size
+                        ),
+                        gen["positions"][:n],
+                        true_bboxes=[
+                            BBox(
+                                Position(y=b[1], x=b[0]),
+                                Position(y=b[3], x=b[2]),
+                            )
+                            for b in boxes
+                        ],
+                    )
+                )
+
+        return all_metrics, prediction_images
+
+    def eval_supervised(self, dataset, env_ids):
+        """Teacher-forced eval on generated trajectories (reference:
+        src/supervised.py:407-483)."""
+        all_metrics = defaultdict(list)
+        cfg = self.config
+        variables = self.eval_variables()
+        bs = cfg.batch_size
+        rng = np.random.default_rng(cfg.seed)
+
+        for start in range(0, len(env_ids), bs):
+            ids = env_ids[start : start + bs]
+            batch = build_supervised_batch(dataset, ids, cfg, rng)
+            logits, _ = self.model.apply(
+                variables,
+                jnp.asarray(batch["patches"]),
+                jnp.asarray(batch["current_actions"]),
+                jnp.asarray(batch["class_id"]),
+                jnp.asarray(batch["positions"]),
+            )
+            al, acc = action_ce_metrics(
+                logits,
+                jnp.asarray(batch["reference_actions"]),
+                jnp.asarray(batch["masks"]),
+                self.class_weight,
+            )
+            all_metrics["action_loss"].append(float(al))
+            all_metrics["action_accuracy"].append(float(acc))
+            all_metrics["episode_length"].append(
+                float(batch["masks"].sum(axis=1).mean())
+            )
+
+            if cfg.detection_enabled:
+                B, K = batch["patches_yolox"].shape[:2]
+                flat = jnp.asarray(
+                    batch["patches_yolox"].reshape(
+                        (B * K,) + batch["patches_yolox"].shape[2:]
+                    )
+                )
+                head_out = self._yolox_predict(variables, flat)
+                targets = jnp.asarray(
+                    batch["bboxes_yolox"].reshape(
+                        (B * K,) + batch["bboxes_yolox"].shape[2:]
+                    )
+                )
+                valid = jnp.asarray(batch["yolox_valid"].reshape(-1))
+                ylo = jax.device_get(yolox_losses(head_out, targets, valid))
+                for name, value in ylo.items():
+                    all_metrics[f"yolo_{name}"].append(float(value))
+                all_metrics["yolo_loss"].append(float(ylo["total_loss"]))
+                all_metrics["loss"].append(
+                    float(al) + float(ylo["total_loss"])
+                )
+                # Per-patch mAP on the detection patches.
+                head_np = jax.device_get(head_out)
+                outs = postprocess(
+                    head_np["boxes"],
+                    jax.nn.sigmoid(head_np["obj_logits"]),
+                    jax.nn.sigmoid(head_np["cls_logits"]),
+                    conf_threshold=self.model.detector_conf_threshold,
+                    patch_size=cfg.patch_size,
+                )
+                t = np.asarray(targets)
+                pred_boxes, pred_scores, gt_boxes = [], [], []
+                for i, o in enumerate(outs):
+                    gt = t[i][t[i][:, 5] == 1][:, 1:5]
+                    gt_boxes.append(gt)
+                    if o is None:
+                        pred_boxes.append(np.zeros((0, 4)))
+                        pred_scores.append(np.zeros((0,)))
+                    else:
+                        pred_boxes.append(o[:, :4])
+                        pred_scores.append(o[:, 4] * o[:, 5])
+                if sum(len(g) for g in gt_boxes) > 0:
+                    all_metrics["map"].append(
+                        average_precision_50(pred_boxes, pred_scores, gt_boxes)
+                    )
+                else:
+                    all_metrics["map"].append(0.0)
+
+        return all_metrics
+
+    def test(self, sample_actions: bool = False):
+        """Full test cycle: autoregressive eval + teacher-forced eval +
+        worst-failure plots + state save (reference: src/supervised.py:754-810)."""
+        cfg = self.config
+        datasets = [self.test_dataset]
+        datasets_env_ids = [self.test_env_ids]
+        modes = ["test"]
+        if cfg.eval_training_set:
+            datasets.append(self.train_dataset)
+            datasets_env_ids.append(self.train_env_ids)
+            modes.append("train")
+
+        for dataset, env_ids, mode in zip(datasets, datasets_env_ids, modes):
+            translations, rotations = dataset.translations, dataset.rotations
+            dataset.translations = dataset.rotations = False
+            try:
+                metrics, images = self.eval_envs(
+                    dataset, env_ids, sample_actions=sample_actions
+                )
+
+                if cfg.failure_select_rate > 0:
+                    worst_count = int(cfg.failure_select_rate * len(dataset))
+                    if worst_count > 0 and metrics[self.best_metric_name]:
+                        arr = np.array(metrics[self.best_metric_name])
+                        worst_ids = np.argsort(arr)[:worst_count]
+                        try:
+                            worst_env_ids = np.asarray(env_ids)[worst_ids]
+                            _, worst_images = self.eval_envs(
+                                dataset, worst_env_ids
+                            )
+                            images["worst_images"] = worst_images["model_images"]
+                        except Exception:
+                            import traceback
+
+                            print("Could not compute worst images")
+                            traceback.print_exc()
+
+                sup = self.eval_supervised(dataset, env_ids)
+                for name, values in sup.items():
+                    metrics["supervised_" + name] = values
+
+                self.last_test_metrics = metrics
+                self.best_metric_history.append(
+                    float(np.mean(metrics[self.best_metric_name]))
+                    if metrics[self.best_metric_name]
+                    else 0.0
+                )
+                if self.logger is not None:
+                    self.logger.log_to_visdom(metrics, images, mode)
+            finally:
+                dataset.translations = translations
+                dataset.rotations = rotations
+
+        self.save_state()
+        self.save_metrics()

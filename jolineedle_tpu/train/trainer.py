@@ -1,0 +1,192 @@
+"""Trainer base: model/optimizer state, checkpoint/best tracking, eval ids.
+
+Plays the role of the reference Trainer (reference: src/trainer.py:22-280),
+redesigned for single-program SPMD: no rank/process-group plumbing — a
+``Mesh`` with a data axis replaces DDP (reference: trainer.py:61-71), and
+the train state is one pytree (params + batch stats + a two-partition optax
+state, see train/optim.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .. import checkpoint as ckpt
+from ..env import get_actions_info
+from ..models.gpt import GPT
+from ..parallel.mesh import make_mesh, replicate
+from ..utils.metrics import compute_detection_metrics, patch_bboxes2full_image
+from .optim import make_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class Trainer:
+    """Shared state/checkpoint/eval-id logic for both training modes."""
+
+    best_metric_name = "map"
+
+    def __init__(
+        self,
+        config,
+        model: GPT,
+        logger,
+        train_dataset,
+        test_dataset,
+        rank: int = 0,  # kept for API parity; always 0 in SPMD
+    ):
+        self.config = config
+        self.model = model
+        self.logger = logger
+        self.train_dataset = train_dataset
+        self.test_dataset = test_dataset
+        self.rank = rank
+
+        self.mesh = make_mesh(getattr(config, "gpu_ids", None))
+        self.n_devices = self.mesh.devices.size
+        self.actions_info = get_actions_info(config)
+
+        # Fixed eval-id sampling (reference: src/trainer.py:44-53).
+        rng = np.random.default_rng(config.seed)
+        if test_dataset is not None and len(test_dataset):
+            ids = list(range(len(test_dataset)))
+            self.test_env_ids = rng.choice(ids, size=(config.test_samples,))
+        if train_dataset is not None and len(train_dataset):
+            ids = list(range(len(train_dataset)))
+            self.train_env_ids = rng.choice(ids, size=(config.test_samples,))
+        self.rng = rng
+        self.np_rng = np.random.default_rng(config.seed + 1)
+
+        self.best_metric_history = []
+        self.last_test_metrics = {}
+        self.iter_num = 0
+
+        self.state = self._init_state()
+        self.checkpoint_dir = Path(config.work_dir) / config.env_name
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+
+        # Jitted eval helpers (decode path).
+        self._init_cache = jax.jit(
+            lambda v, classes: self.model.apply(v, classes, method=GPT.init_cache)
+        )
+        self._decode_step = jax.jit(
+            lambda v, cache, patch, action, pos, t: self.model.apply(
+                v, cache, patch, action, pos, t, method=GPT.decode_step
+            )
+        )
+        self._yolox_predict = jax.jit(
+            lambda v, patches: self.model.apply(
+                v, patches, False, method=GPT.yolox_outputs
+            )[0]
+        )
+
+    # --- state ------------------------------------------------------------
+    def _init_state(self) -> TrainState:
+        cfg = self.config
+        P = cfg.patch_size
+        B, T = 1, 1
+        init_rng = jax.random.PRNGKey(cfg.seed)
+        variables = self.model.init(
+            init_rng,
+            jnp.zeros((B, T, P, P, cfg.n_channels)),
+            jnp.zeros((B, T), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B, T, 2), jnp.int32),
+            jnp.zeros((B, P, P, cfg.n_channels)),
+            method=GPT.init_all,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        self.tx = make_optimizer(
+            params,
+            learning_rate=cfg.learning_rate,
+            yolo_lr=cfg.yolo_lr,
+            gradient_accumulation=cfg.gradient_accumulation,
+            freeze_image_processor=getattr(
+                cfg, "freeze_image_processor", False
+            ),
+            detection_enabled=cfg.detection_enabled,
+            clip_value=1.0 if cfg.training_mode == "reinforce" else None,
+        )
+        opt_state = self.tx.init(params)
+        state = TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+        return replicate(self.mesh, state)
+
+    def eval_variables(self) -> dict:
+        return {"params": self.state.params, "batch_stats": self.state.batch_stats}
+
+    # --- checkpointing (reference: src/trainer.py:73-165) ------------------
+    def save_metrics(self):
+        metrics = {}
+        for name, values in self.last_test_metrics.items():
+            v = float(np.mean(values))
+            metrics[name] = 0.0 if np.isnan(v) else v
+        path = self.checkpoint_dir / "metrics.json"
+        with open(path, "w") as f:
+            f.write(json.dumps(metrics, indent=4))
+        print(json.dumps(metrics, indent=4))
+
+    def save_state(self):
+        try:
+            max_metric = max(self.best_metric_history)
+            if max_metric == self.best_metric_history[-1]:
+                ckpt.save_checkpoint(
+                    self.checkpoint_dir / ckpt.CKPT_BEST, self.state
+                )
+                with open(self.checkpoint_dir / "best_model.txt", "w") as f:
+                    f.write("index: %d\n" % (len(self.best_metric_history) - 1))
+                    f.write(
+                        "%s: %f\n" % (self.best_metric_name, max_metric)
+                    )
+        except Exception as e:  # parity: best-save is best-effort
+            print("Could not save best model: " + str(e))
+        ckpt.save_checkpoint(self.checkpoint_dir / ckpt.CKPT_LAST, self.state)
+        if self.logger is not None:
+            self.logger.save_visdom(self.checkpoint_dir)
+
+    def load_checkpoint(self, directory, best: bool = False):
+        name = ckpt.CKPT_BEST if best else ckpt.CKPT_LAST
+        self.state = ckpt.load_checkpoint(Path(directory) / name, self.state)
+        self.state = replicate(self.mesh, self.state)
+
+    def load_detection_checkpoint(self, path):
+        self.state = ckpt.load_detection_params(path, self.state)
+        self.state = replicate(self.mesh, self.state)
+
+    def prepare_validation(self):
+        """Reload the best checkpoint and switch to the full test set
+        (reference: src/trainer.py:138-165)."""
+        best = self.checkpoint_dir / ckpt.CKPT_BEST
+        if best.exists():
+            print("Loading best checkpoint for validation:", best)
+            self.state = ckpt.load_params_only(best, self.state)
+            self.state = replicate(self.mesh, self.state)
+        else:
+            print(
+                "Could not reload best checkpoint for final test,"
+                " using last checkpoint"
+            )
+        self.test_env_ids = list(range(len(self.test_dataset)))
+
+    # --- detection metrics (statics, reference: trainer.py:188-280) --------
+    compute_detection_metrics = staticmethod(compute_detection_metrics)
+    patch_bboxes2full_image = staticmethod(patch_bboxes2full_image)

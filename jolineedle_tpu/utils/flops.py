@@ -1,0 +1,114 @@
+"""FLOPs / parameter measurement via XLA cost analysis.
+
+Replaces the reference's thop-based ``--measure-flops`` path (reference:
+main.py:452-529): reports backbone / detector / full-model FLOPs at several
+sequence lengths and for a full 8x-patch image, plus parameter counts, using
+``jax.jit(...).lower().compile().cost_analysis()``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gpt import GPT
+
+
+def _pretty(n: float) -> str:
+    for unit in ["", "K", "M", "G", "T"]:
+        if abs(n) < 1000:
+            return f"{n:.3f}{unit}"
+        n /= 1000
+    return f"{n:.3f}P"
+
+
+def _flops(fn, *args) -> float:
+    compiled = jax.jit(fn).lower(*args).compile()
+    analysis = compiled.cost_analysis()
+    if isinstance(analysis, list):
+        analysis = analysis[0]
+    return float(analysis.get("flops", 0.0))
+
+
+def count_params(tree) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+def measure_flops(trainer, model_config, train_config):
+    """Print the same report shape as the reference (main.py:452-529).
+
+    Note: XLA reports FLOPs (2x MACs for matmul-like ops); the reference's
+    thop reports MACs.
+    """
+    model = trainer.model
+    variables = trainer.eval_variables()
+    P = model_config.patch_size
+    nc = model_config.n_channels
+    b = 1
+
+    print(f"Computing FLOPs for patch size = {P} and batch size = {b}")
+
+    one_patch = jnp.zeros((b, P, P, nc))
+    bkb_flops = _flops(
+        lambda p: model.apply(
+            variables, p, False, method=lambda m, x, t: m.yolox.backbone(x, t)
+        ),
+        one_patch,
+    )
+    bkb_params = count_params(variables["params"]["yolox"]["backbone"])
+    print(f"Backbone FLOPs: {_pretty(bkb_flops)}, Params: {_pretty(bkb_params)}")
+
+    yolo_flops = _flops(
+        lambda p: model.apply(variables, p, False, method=GPT.yolox_outputs),
+        one_patch,
+    )
+    head_params = count_params(variables["params"]["yolox"]["head"])
+    print(
+        f"Yolox Head FLOPs: {_pretty(yolo_flops - bkb_flops)}, "
+        f"Params: {_pretty(head_params)}"
+    )
+
+    gpt_params = count_params(
+        {k: v for k, v in variables["params"].items() if k != "yolox"}
+    )
+    for seq_len in [1, 2, 4, 8, 16]:
+        patches = jnp.zeros((b, seq_len, P, P, nc))
+        actions = jnp.zeros((b, seq_len), jnp.int32)
+        positions = jnp.zeros((b, seq_len, 2), jnp.int32)
+        classes = jnp.zeros((b,), jnp.int32)
+        flops = _flops(
+            lambda *a: model.apply(variables, *a)[0],
+            patches,
+            actions,
+            classes,
+            positions,
+        )
+        print(
+            f"Seq len: {seq_len}, GPT FLOPs: "
+            f"{_pretty(flops - seq_len * bkb_flops)}, "
+            f"Params: {_pretty(gpt_params)}"
+        )
+        print(
+            f"Seq len: {seq_len}, Complete Model FLOPs: {_pretty(flops)}, "
+            f"Params: {_pretty(gpt_params + count_params(variables['params'].get('yolox', {})))}"
+        )
+
+    big = P * 8
+    print(f"Compute Yolox FLOPs for image of size {big}x{big}")
+    full_img = jnp.zeros((b, big, big, nc))
+    bkb_full = _flops(
+        lambda p: model.apply(
+            variables, p, False, method=lambda m, x, t: m.yolox.backbone(x, t)
+        ),
+        full_img,
+    )
+    print(f"Backbone FLOPs: {_pretty(bkb_full)}, Params: {_pretty(bkb_params)}")
+    yolo_full = _flops(
+        lambda p: model.apply(variables, p, False, method=GPT.yolox_outputs),
+        full_img,
+    )
+    print(
+        f"Yolox total FLOPs: {_pretty(yolo_full)}, "
+        f"Params: {_pretty(bkb_params + head_params)}"
+    )

@@ -1,0 +1,76 @@
+"""End-to-end supervised pipeline test (mirrors reference tests/test_sup.py
+but on a locally generated toy dataset and tiny shapes)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def toy_dir(tmp_path_factory):
+    from jolineedle_tpu.data.toy import generate_toy_dataset
+
+    return generate_toy_dataset(
+        tmp_path_factory.mktemp("toylard"),
+        n_train=6,
+        n_test=3,
+        image_size=(256, 320),
+        seed=0,
+    )
+
+
+def test_supervised_pipeline(toy_dir, tmp_path):
+    import main
+
+    work_dir = str(tmp_path / "checkpoints")
+    # fmt: off
+    cli_args = [
+        "--seed", "12345",
+        "--dataset-dir", str(toy_dir),
+        "--training-mode", "supervised",
+        "--work-dir", work_dir,
+        "--max-iters", "3",
+        "--test-every", "2",
+        "--test-samples", "2",
+        "--env-name", "supervised",
+        "--group", "test",
+        "--model-type", "gpt-nano",
+        "--gpt-backbone", "yolox-nano",
+        "--image-processor", "yolox-nano",
+        "--concat-embeddings",
+        "--decoder-pos-encoding",
+        "--use-positional-embedding",
+        "--loss", "on-optimal-trajectory",
+        "--binomial-keypoints",
+        "--max-seq-len", "4",
+        "--batch-size", "2",
+        "--gradient-accumulation", "2",
+        "--max-keypoints", "1",
+        "--min-keypoints", "0",
+        "--dropout", "0.0",
+        "--patch-size", "64",
+        "--minimum-image-size", "0",
+        "--stop-weight", "0.1",
+        "--detector-conf-threshold", "0.05",
+        "--lr", "0.0001",
+        "--yolo-lr", "0.0001",
+        "--devices", "0",
+        "--augment-translate",
+        "--max-det-patches", "6",
+        "--max-boxes", "4",
+        "--compute-dtype", "float32",
+    ]
+    # fmt: on
+    args = main.get_args(cli_args)
+    main.main(args)
+
+    out_dir = os.path.join(work_dir, "test_supervised")
+    assert os.path.exists(os.path.join(out_dir, "config.json"))
+    assert os.path.exists(os.path.join(out_dir, "checkpoint.msgpack"))
+    assert os.path.exists(os.path.join(out_dir, "metrics.json"))
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        metrics = json.load(f)
+    assert "map" in metrics and np.isfinite(metrics["map"])
+    assert "action_accuracy" in metrics
