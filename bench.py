@@ -1,0 +1,232 @@
+"""Headline benchmark: glimpse env steps/sec/chip (gpt-nano + yolox-nano).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The measured quantity is the BASELINE.json metric — batched glimpse-rollout
+environment steps per second on one chip, flagship config (gpt-nano decision
+decoder, yolox-nano patch embedder, 448px patches, LARD-sized images,
+max_ep_len 20 with STOP, reference: BASELINE.json "configs").
+
+``vs_baseline`` compares against a faithful same-hardware emulation of the
+reference's rollout architecture (reference: src/reinforce.py:108-215):
+a host Python loop that re-runs the transformer on the WHOLE prefix each
+step (recurrent embedding cache semantics: only the newest patch is
+embedded, reference: src/models/gpt.py:427-435), gathers patches on the
+host (the reference's per-sample Python loop, reference:
+src/env/general_env.py:285-306) and syncs host<->device every step
+(reference: src/env/general_env.py:209-212). The TPU-native path runs the
+whole rollout — KV-cache decode, sampling, env step — inside one
+``lax.scan`` (jolineedle_tpu/train/reinforce.py).
+
+Env knobs: BENCH_SMALL=1 shrinks shapes for CPU smoke runs;
+BENCH_BATCH/BENCH_STEPS/BENCH_ITERS override sizes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS") and not jax.config.jax_platforms:
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax.numpy as jnp
+
+
+def build(small: bool):
+    from jolineedle_tpu.config import args_to_config, get_args
+    from jolineedle_tpu.env import get_actions_info
+    from jolineedle_tpu.models.gpt import GPT
+    from jolineedle_tpu.train.reinforce import ReinforceTrainer
+
+    patch = 64 if small else 448
+    grid = 2 if small else 6  # LARD images are ~2448x2648 -> 6x6 448px grid
+    max_ep_len = int(os.environ.get("BENCH_STEPS", 4 if small else 20))
+    batch = int(os.environ.get("BENCH_BATCH", 2 if small else 16))
+
+    cli = [
+        "--training-mode", "reinforce",
+        "--dataset-dir", "/nonexistent",
+        "--work-dir", "/tmp/bench_out",
+        "--model-type", "gpt-nano",
+        "--image-processor", "yolox-nano",
+        "--gpt-backbone", "yolox-nano",
+        "--concat-embeddings",
+        "--decoder-pos-encoding",
+        "--use-positional-embedding",
+        "--enable-stop",
+        "--max-seq-len", str(max_ep_len),
+        "--patch-size", str(patch),
+        "--minimum-image-size", "0",
+        "--batch-size", str(batch),
+        "--dropout", "0.0",
+        "--max-det-patches", "4",
+        "--max-boxes", "4",
+        "--devices", "0",
+        "--compute-dtype", "float32" if small else "bfloat16",
+    ]
+    train_config, model_config = args_to_config(get_args(cli))
+    model = GPT.from_config(model_config, get_actions_info(train_config))
+    trainer = ReinforceTrainer(train_config, model, None, None, None)
+
+    rng = np.random.default_rng(0)
+    H = W = grid * patch
+    images = rng.random((batch, H, W, 3), np.float32)
+    # A couple of small boxes per image (runway-like targets).
+    boxes = np.zeros((batch, 4, 4), np.float32)
+    for i in range(batch):
+        for j in range(2):
+            x = rng.integers(0, W - 80)
+            y = rng.integers(0, H - 80)
+            boxes[i, j] = [x, y, x + 64, y + 48]
+    return trainer, model, images, boxes, batch, max_ep_len, patch
+
+
+def bench_scan_rollout(trainer, images, boxes, iters: int) -> float:
+    """TPU-native path: full rollout inside one jitted lax.scan."""
+    variables = trainer.eval_variables()
+    from jolineedle_tpu.env.batched_env import NeedleEnv
+
+    cfg = trainer.config
+
+    @jax.jit
+    def rollout(variables, images, boxes, key):
+        env = NeedleEnv(
+            images, boxes, cfg.patch_size, trainer.max_ep_len, 1,
+            trainer.stop_enabled,
+        )
+        return trainer._rollout_scan(variables, env, key, sample=True)
+
+    images_d = jnp.asarray(images)
+    boxes_d = jnp.asarray(boxes)
+    key = jax.random.PRNGKey(0)
+    jax.block_until_ready(rollout(variables, images_d, boxes_d, key)["rewards"])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key = jax.random.fold_in(key, i)
+        out = rollout(variables, images_d, boxes_d, key)
+    jax.block_until_ready(out["rewards"])
+    return time.perf_counter() - t0
+
+
+def bench_reference_style_rollout(
+    trainer, model, images, boxes, iters: int, n_steps: int
+) -> float:
+    """Reference-architecture emulation on the same hardware: host loop,
+    full-prefix transformer re-run per step, host patch gather + transfer,
+    per-step host<->device sync (reference: src/reinforce.py:108-215).
+
+    Measured over ``n_steps`` prefix steps per episode — per-step cost GROWS
+    with the prefix in the reference design (full-prefix re-run), so a short
+    prefix UNDERSTATES the baseline's cost and the reported speedup is a
+    lower bound."""
+    from jolineedle_tpu.env.oracle import gather_patches
+
+    variables = trainer.eval_variables()
+    cfg = trainer.config
+    B = images.shape[0]
+    P = cfg.patch_size
+    nv, nh = images.shape[1] // P, images.shape[2] // P
+
+    fwd = jax.jit(
+        lambda v, patches, actions, classes, positions: model.apply(
+            v, patches, actions, classes, positions
+        )[0]
+    )
+
+    rng = np.random.default_rng(0)
+
+    # Warm-up: compile each prefix length once (torch has no compile step;
+    # excluding it keeps the comparison honest).
+    warm_pos = np.zeros((B, 1, 2), np.int32)
+    warm_patches = np.stack(
+        [gather_patches(images[i], warm_pos[i], P) for i in range(B)]
+    )
+    for t in range(1, n_steps + 1):
+        jax.block_until_ready(
+            fwd(
+                variables,
+                jnp.asarray(np.repeat(warm_patches, t, axis=1)),
+                jnp.zeros((B, t), jnp.int32),
+                jnp.zeros((B,), jnp.int32),
+                jnp.asarray(np.repeat(warm_pos, t, axis=1)),
+            )
+        )
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        positions = np.stack(
+            [rng.integers(0, nv, B), rng.integers(0, nh, B)], axis=1
+        ).astype(np.int32)
+        actions = np.zeros((B, 1), np.int32)
+        pos_hist = positions[:, None]
+        patches = np.stack(
+            [gather_patches(images[i], positions[i : i + 1], P)[0] for i in range(B)]
+        )[:, None]
+        classes = jnp.zeros((B,), jnp.int32)
+        for t in range(n_steps):
+            logits = fwd(
+                variables,
+                jnp.asarray(patches),
+                jnp.asarray(actions),
+                classes,
+                jnp.asarray(pos_hist),
+            )
+            last = np.asarray(logits[:, -1])  # host sync, like .item() calls
+            p = np.exp(last - last.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            act = np.array(
+                [rng.choice(last.shape[-1], p=p[i]) for i in range(B)], np.int32
+            )
+            deltas = np.array(
+                [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1),
+                 (-1, -1), (0, 0)], np.int32,
+            )[np.clip(act, 0, 8)]
+            positions = np.clip(positions + deltas, 0, [nv - 1, nh - 1])
+            new_patches = np.stack(
+                [gather_patches(images[i], positions[i : i + 1], P)[0]
+                 for i in range(B)]
+            )
+            patches = np.concatenate([patches, new_patches[:, None]], axis=1)
+            actions = np.concatenate([actions, act[:, None]], axis=1)
+            pos_hist = np.concatenate([pos_hist, positions[:, None]], axis=1)
+    return time.perf_counter() - t0
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL", "") == "1"
+    iters = int(os.environ.get("BENCH_ITERS", 2 if small else 10))
+    base_iters = max(1, iters // 5)
+
+    trainer, model, images, boxes, batch, max_ep_len, patch = build(small)
+
+    scan_time = bench_scan_rollout(trainer, images, boxes, iters)
+    steps_per_sec = batch * max_ep_len * iters / scan_time
+
+    base_steps = min(4, max_ep_len)
+    ref_time = bench_reference_style_rollout(
+        trainer, model, images, boxes, base_iters, base_steps
+    )
+    ref_steps_per_sec = batch * base_steps * base_iters / ref_time
+
+    print(
+        json.dumps(
+            {
+                "metric": "glimpse env steps/sec/chip (gpt-nano+yolox-nano)",
+                "value": round(steps_per_sec, 2),
+                "unit": f"env steps/s (batch {batch}, ep_len {max_ep_len}, "
+                f"patch {patch})",
+                "vs_baseline": round(steps_per_sec / ref_steps_per_sec, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,240 @@
+"""JoliNeedle-TPU inference/eval CLI.
+
+Same surface and behavior as the reference inference script (reference:
+infer.py:28-218): loads ``config.json`` + the best checkpoint from
+``--model-dir``, runs sampled rollouts on a list of images or a dataset
+file, pads each image to a patch multiple (reference: infer.py:146-152),
+saves plotted trajectory PNGs, prints per-image objects/steps/latency
+(reference: infer.py:186-190) and aggregate metrics (reference:
+infer.py:211-213). The ``--track-object`` flag is accepted for CLI parity;
+it is a no-op in the reference too (declared infer.py:45-49, never used).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from collections import defaultdict
+
+import numpy as np
+from PIL import Image
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS") and not jax.config.jax_platforms:
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax.numpy as jnp
+
+from jolineedle_tpu.config import config_from_file
+from jolineedle_tpu.data.dataset import complete_to_patch_size
+from jolineedle_tpu.env import get_actions_info
+from jolineedle_tpu.models.gpt import GPT
+from jolineedle_tpu.ops.nms import postprocess
+from jolineedle_tpu.train.reinforce import ReinforceTrainer
+from jolineedle_tpu.utils.metrics import (
+    compute_detection_metrics,
+    patch_bboxes2full_image,
+)
+from jolineedle_tpu.utils.geometry import parse_bbox_predictions
+from jolineedle_tpu.utils.plotting import plot_model_prediction
+from jolineedle_tpu.env.oracle import gather_patches
+
+
+def get_infer_args(args=None):
+    parser = argparse.ArgumentParser(
+        description="Inference and test script for JoliNeedle-TPU"
+    )
+    parser.add_argument(
+        "--model-dir",
+        required=True,
+        help="Model directory, used to load the model checkpoint",
+    )
+    parser.add_argument(
+        "--input-images", nargs="*", help="Input images to perform inference on"
+    )
+    parser.add_argument(
+        "--dataset", help="Dataset over which perform tests and compute metrics"
+    )
+    parser.add_argument("--output-dir", help="Output directory for images, metrics...")
+    parser.add_argument(
+        "--track-object",
+        action="store_true",
+        help="Kept for parity; a no-op exactly as in the reference "
+        "(reference: infer.py:45-49)",
+    )
+    parser.add_argument(
+        "--detection-checkpoint",
+        type=str,
+        help="Load detection model from a separate checkpoint file",
+    )
+    return parser.parse_args(args)
+
+
+def load_bboxes(bbox_fname):
+    """bbox txt lines 'class x1 y1 x2 y2' -> [n, 4] (reference: infer.py:76-84)."""
+    bboxes = []
+    with open(bbox_fname) as bbox_file:
+        for line in bbox_file:
+            parts = line.strip().split()
+            if len(parts) >= 5:
+                bboxes.append([int(float(i)) for i in parts[1:5]])
+    return np.array(bboxes, np.float32).reshape(-1, 4)
+
+
+def save_image(chw_image: np.ndarray, path: str):
+    """[C, H, W] float in [0, 1] -> PNG."""
+    hwc = np.clip(np.asarray(chw_image).transpose(1, 2, 0) * 255, 0, 255)
+    Image.fromarray(hwc.astype(np.uint8)).save(path)
+
+
+def infer(args):
+    config_path = os.path.join(args.model_dir, "config.json")
+    train_config, model_config = config_from_file(config_path)
+    if "filter_classes" in train_config.__dict__ and isinstance(
+        train_config.filter_classes, list
+    ):
+        train_config.filter_classes = set(train_config.filter_classes)
+
+    actions_info = get_actions_info(train_config)
+    model = GPT.from_config(model_config, actions_info)
+    trainer = ReinforceTrainer(train_config, model, None, None, None, 0)
+    trainer.load_checkpoint(args.model_dir, best=True)
+    if args.detection_checkpoint is not None:
+        trainer.load_detection_checkpoint(args.detection_checkpoint)
+        train_config.detection_enabled = True
+
+    image_paths, target_paths = [], []
+    if args.dataset:
+        # Relative entries resolve against the list file's directory, same
+        # as the dataset loader (jolineedle_tpu/data/dataset.py get_paths).
+        base = os.path.dirname(os.path.abspath(args.dataset))
+        with open(args.dataset) as dset_file:
+            for line in dset_file:
+                parts = line.strip().split()
+                image_paths.append(
+                    parts[0] if os.path.isabs(parts[0])
+                    else os.path.join(base, parts[0])
+                )
+                target_paths.append(
+                    parts[1] if os.path.isabs(parts[1])
+                    else os.path.join(base, parts[1])
+                )
+    if args.input_images:
+        image_paths += args.input_images
+
+    if args.output_dir:
+        os.makedirs(args.output_dir, exist_ok=True)
+
+    patch_size = train_config.patch_size
+    all_metrics = defaultdict(list)
+    variables = trainer.eval_variables()
+
+    for img_id, image_path in enumerate(image_paths):
+        print(
+            "Processing image %d/%d %s" % (img_id + 1, len(image_paths), image_path)
+        )
+        image = np.asarray(Image.open(image_path).convert("RGB"), np.float32) / 255.0
+        image = complete_to_patch_size(image, patch_size)
+
+        has_targets = img_id < len(target_paths)
+        boxes = (
+            load_bboxes(target_paths[img_id])
+            if has_targets
+            else np.zeros((1, 4), np.float32)
+        )
+        n = max(len(boxes), 1)
+        boxes_padded = np.zeros((n, 4), np.float32)
+        boxes_padded[: len(boxes)] = boxes
+
+        rollout_fn = trainer._get_eval_rollout(image.shape)
+        key = jax.random.PRNGKey(img_id)
+        # Warm-up compile excluded from the reported latency; the reference
+        # measures steady-state torch kernels (reference: infer.py:157-162).
+        if img_id == 0:
+            jax.block_until_ready(
+                rollout_fn(
+                    variables,
+                    jnp.asarray(image),
+                    jnp.asarray(boxes_padded),
+                    key,
+                    sample=True,
+                )["positions"]
+            )
+        start_ts = time.perf_counter()
+        ro = jax.device_get(
+            rollout_fn(
+                variables,
+                jnp.asarray(image),
+                jnp.asarray(boxes_padded),
+                key,
+                sample=True,
+            )
+        )
+        duration = time.perf_counter() - start_ts
+
+        positions = ro["positions"][0]
+        masks = ro["masks"][0]
+        n_valid = int(masks.sum())
+        patches = gather_patches(image, positions[:n_valid], patch_size)
+
+        full_img_preds = [None]
+        if train_config.detection_enabled:
+            head_out = jax.device_get(
+                trainer._yolox_predict(variables, jnp.asarray(patches))
+            )
+            traj_preds = postprocess(
+                head_out["boxes"],
+                jax.nn.sigmoid(head_out["obj_logits"]),
+                jax.nn.sigmoid(head_out["cls_logits"]),
+                conf_threshold=model.detector_conf_threshold,
+                patch_size=patch_size,
+            )
+            offsets = positions[:n_valid][:, [1, 0]] * patch_size
+            full_img_preds = patch_bboxes2full_image(
+                [traj_preds], offsets[None], np.ones((1, n_valid), bool)
+            )
+
+        plot_image = plot_model_prediction(
+            image,
+            patches,
+            positions[:n_valid],
+            true_bboxes=[],
+            predicted_bboxes=parse_bbox_predictions([full_img_preds[0]]),
+        )
+
+        obj_count = 0 if full_img_preds[0] is None else len(full_img_preds[0])
+        print(
+            "Found %d objects in %d steps and %0.2fms"
+            % (obj_count, positions.shape[0], duration * 1000)
+        )
+
+        if args.output_dir:
+            save_image(
+                plot_image, os.path.join(args.output_dir, "result%d.png" % img_id)
+            )
+
+        if has_targets:
+            metrics = trainer.compute_rollout_metrics(ro)
+            full_img_targets = [
+                np.concatenate(
+                    [np.zeros((len(boxes), 1)), boxes.astype(np.float64)], axis=1
+                )
+            ]
+            for name, value in compute_detection_metrics(
+                full_img_preds, full_img_targets
+            ).items():
+                metrics[name] = value
+            for mname, value in metrics.items():
+                all_metrics[mname].append(float(value))
+
+    if len(target_paths) > 0:
+        for mname, values in all_metrics.items():
+            print("%s: %0.3f" % (mname, np.mean(values)))
+    return all_metrics
+
+
+if __name__ == "__main__":
+    infer(get_infer_args())

@@ -19,3 +19,30 @@ Design notes (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def enable_compilation_cache(path: str = "") -> None:
+    """Turn on JAX's persistent compilation cache.
+
+    XLA compiles are the dominant startup cost of every CLI entry (especially
+    the scan-rollout train step); caching them across processes makes
+    repeated runs — tests, resumed trainings, inference — start in seconds.
+    Set ``JOLINEEDLE_NO_CACHE=1`` to disable.
+    """
+    if _os.environ.get("JOLINEEDLE_NO_CACHE"):
+        return
+    import jax
+
+    path = path or _os.environ.get(
+        "JOLINEEDLE_CACHE_DIR", "/tmp/jolineedle_jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+enable_compilation_cache()

@@ -45,11 +45,29 @@ def load_params_only(path, target_state: Any) -> Any:
 
 def load_detection_params(path, target_state: Any) -> Any:
     """Graft only the ``yolox`` param subtree from another checkpoint
-    (reference: main.py:565-584 ``--detection-checkpoint``)."""
-    restored = load_checkpoint(path, target_state)
+    (reference: main.py:565-584 ``--detection-checkpoint``).
+
+    Accepts either a full train-state checkpoint from this framework or a
+    ported-weights file from scripts/port_yolox_weights.py
+    (``{"params": <yolox tree>, "batch_stats": ...}``).
+    """
+    with open(Path(path), "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+
+    if "opt_state" in raw:  # full TrainState checkpoint
+        yolox_params = raw["params"]["yolox"]
+        yolox_stats = raw.get("batch_stats", {}).get("yolox", {})
+    else:  # ported upstream weights
+        yolox_params = raw["params"]
+        yolox_stats = raw.get("batch_stats", {})
+
     params = dict(target_state.params)
-    params["yolox"] = restored.params["yolox"]
+    params["yolox"] = serialization.from_state_dict(
+        target_state.params["yolox"], yolox_params
+    )
     batch_stats = dict(target_state.batch_stats)
-    if "yolox" in restored.batch_stats:
-        batch_stats["yolox"] = restored.batch_stats["yolox"]
+    if yolox_stats and "yolox" in batch_stats:
+        batch_stats["yolox"] = serialization.from_state_dict(
+            batch_stats["yolox"], yolox_stats
+        )
     return target_state.replace(params=params, batch_stats=batch_stats)

@@ -1,0 +1,637 @@
+"""REINFORCE trainer: on-device policy-gradient rollouts.
+
+TPU redesign of the reference ReinforceTrainer (reference:
+src/reinforce.py:37-493). The reference's rollout is a Python loop that
+re-runs the transformer on the whole prefix each step and syncs host<->device
+on every action (reference: src/reinforce.py:108-215,
+src/env/general_env.py:209-212, 285-306); the #1 perf target per SURVEY.md
+section 3.2. Here the ENTIRE rollout — env reset, KV-cache decode,
+categorical sampling, env step, reward bookkeeping — is one ``lax.scan``
+inside one jitted train step, with masked early-stop instead of the
+reference's Python ``break`` (reference: src/reinforce.py:181-184).
+
+Semantics parity:
+  - mask bookkeeping: a step's logprob counts iff the episode had not
+    terminated before the action was taken (reference builds this as
+    ``roll(masks[:, 1:], 1)`` with first column True,
+    reference: src/reinforce.py:186-194);
+  - reward-to-go via reversed masked cumsum (reference: reinforce.py:196-202);
+  - cross-window return normalization: mean/std of the returns collected
+    over the previous gradient-accumulation window, Bessel-corrected
+    (reference: src/reinforce.py:92-106, 234-239, 352-353). Unlike the
+    reference, eval rollouts do NOT pollute the window (the reference's
+    ``compute_metrics`` appends test returns too — a bug we don't keep);
+  - loss = -logprob * advantage + entropy bonus (reference:
+    reinforce.py:243-250), optional joint YOLOX loss on env-sampled patches
+    (reference: reinforce.py:330-339), grad-value clipping at 1 and
+    accumulation (reference: reinforce.py:341-353);
+  - the class-conditional token is 0 during RL rollouts (reference feeds
+    zeros, reference: src/reinforce.py:129);
+  - grads ARE synced across devices by GSPMD — fixing the reference's
+    disabled DDP (reference: src/reinforce.py:279-280).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..env.batched_env import NeedleEnv
+from ..env.oracle import gather_patches
+from ..models.gpt import GPT
+from ..ops.augment import detection_augment
+from ..ops.nms import postprocess
+from ..ops.simota import yolox_losses
+from ..parallel.mesh import shard_batch
+from ..utils.geometry import (
+    BBox,
+    Position,
+    merge_boxes_batched,
+    parse_bbox_predictions,
+)
+from ..utils.metrics import compute_detection_metrics, patch_bboxes2full_image
+from ..utils.plotting import plot_model_prediction
+from .batching import Prefetcher
+from .trainer import Trainer, TrainState
+
+
+def fixed_training_shape(dataset, patch_size: int) -> Tuple[int, int]:
+    """Static (H, W) that fits every transformed training image.
+
+    The reference pads per-batch to the batch max (reference:
+    src/dataset.py:307-347), which would recompile the jitted step whenever
+    the max changes; one static shape keeps a single XLA program. Only image
+    *headers* are read (no pixel decode).
+    """
+    from PIL import Image
+
+    max_h = max_w = patch_size
+    for path in dataset.image_paths:
+        with Image.open(path) as im:
+            w, h = im.size
+        m = dataset.minimum_image_size
+        if m and (w < m or h < m):
+            ratio = w / h
+            if w < m:
+                w = m
+                h = int(w / ratio)
+            if h < m:
+                h = m
+                w = int(h * ratio)
+        max_h, max_w = max(max_h, h), max(max_w, w)
+    if dataset.rotations:
+        max_h = max_w = max(max_h, max_w)
+    round_up = lambda v: -(-v // patch_size) * patch_size
+    return round_up(max_h), round_up(max_w)
+
+
+class ReinforceTrainer(Trainer):
+    best_metric_name = "prop_patches_found"
+
+    def __init__(self, config, model, logger, train_dataset, test_dataset, rank=0):
+        super().__init__(config, model, logger, train_dataset, test_dataset, rank)
+        cfg = config
+        self.max_ep_len = cfg.max_seq_len
+        self.entropy_weight = cfg.entropy_weight
+        self.n_glimps_levels = 1  # only level 1 is ever used (reference: reinforce.py:58)
+        self.stop_enabled = cfg.stop_enabled
+
+        # Return-normalization window (reference: src/reinforce.py:69-71).
+        self.last_return_mean = 0.0
+        self.last_return_std = 1.0
+        self._window_stats = []  # (sum, sumsq, count) jnp scalars
+
+        self._train_step = self._build_train_step()
+        self._eval_rollouts = {}  # image shape -> jitted eval rollout
+
+    # --- rollout core (traced inside jit) -----------------------------------
+    def _rollout_scan(self, variables, env: NeedleEnv, key, sample: bool):
+        """One full batched rollout as a ``lax.scan``; O(1) transformer work
+        per step via the KV cache (vs. the reference's full-prefix re-run,
+        reference: src/models/gpt.py:427-435)."""
+        model = self.model
+        B = env.batch_size
+        k_reset, k_scan = jax.random.split(key)
+        state, patches, _ = env.reset(key=k_reset)
+        # Class token is always 0 in RL (reference: src/reinforce.py:129).
+        classes = jnp.zeros((B,), jnp.int32)
+        cache = model.apply(variables, classes, method=GPT.init_cache)
+        init_positions = state.positions
+
+        def step_fn(carry, t):
+            state, cache, prev_action, patches, done, key = carry
+            logits, cache = model.apply(
+                variables,
+                cache,
+                patches[:, 0],
+                prev_action,
+                state.positions,
+                t,
+                method=GPT.decode_step,
+            )
+            logits = logits.astype(jnp.float32)
+            key, k_sample = jax.random.split(key)
+            if sample:
+                action = jax.random.categorical(k_sample, logits)
+            else:
+                action = jnp.argmax(logits, axis=-1)
+            action = action.astype(jnp.int32)
+            logp_all = jax.nn.log_softmax(logits)
+            logprob = jnp.take_along_axis(logp_all, action[:, None], axis=1)[:, 0]
+            entropy = -(jnp.exp(logp_all) * logp_all).sum(-1)
+
+            logit_mask = ~done
+            state, patches, rewards, terminated, _, _ = env.masked_step(
+                state, action, done
+            )
+            done = done | terminated
+            ys = (rewards, logprob, entropy, logit_mask, ~terminated, state.positions)
+            return (state, cache, action, patches, done, key), ys
+
+        carry0 = (
+            state,
+            cache,
+            jnp.zeros((B,), jnp.int32),
+            patches,
+            jnp.zeros((B,), bool),
+            k_scan,
+        )
+        (state, *_), ys = jax.lax.scan(
+            step_fn, carry0, jnp.arange(self.max_ep_len)
+        )
+        rewards, logprobs, entropies, logit_masks, alive, step_positions = ys
+
+        to_bt = lambda x: jnp.moveaxis(x, 0, 1)  # [T, B, ...] -> [B, T, ...]
+        rewards = to_bt(rewards)
+        logprobs = to_bt(logprobs)
+        entropies = to_bt(entropies)
+        logit_masks = to_bt(logit_masks).astype(jnp.float32)
+        # masks[:, 0] = True at reset, then ~terminated after each step
+        # (reference: src/reinforce.py:133-139, 172).
+        masks = jnp.concatenate(
+            [jnp.ones((B, 1), bool), to_bt(alive)], axis=1
+        )
+        positions = jnp.concatenate(
+            [init_positions[:, None], to_bt(step_positions)], axis=1
+        )  # [B, T+1, 2]
+
+        masked_rewards = rewards * logit_masks
+        returns = jnp.flip(jnp.cumsum(jnp.flip(masked_rewards, 1), 1), 1)
+        return {
+            "rewards": rewards,
+            "returns": returns,
+            "logprobs": logprobs,
+            "entropies": entropies,
+            "logit_masks": logit_masks,
+            "masks": masks,
+            "positions": positions,
+            "final_state": state,
+        }
+
+    # --- jitted train step ----------------------------------------------------
+    def _build_train_step(self):
+        model, tx = self.model, self.tx
+        cfg = self.config
+        detection = cfg.detection_enabled
+        reward_norm = cfg.reward_norm
+        entropy_weight = self.entropy_weight
+
+        def loss_fn(params, batch_stats, batch, rng, ret_mean, ret_std):
+            variables = {"params": params, "batch_stats": batch_stats}
+            env = NeedleEnv(
+                batch["image"],
+                batch["bboxes"],
+                cfg.patch_size,
+                self.max_ep_len,
+                self.n_glimps_levels,
+                self.stop_enabled,
+            )
+            k_roll, k_det, k_aug = jax.random.split(rng, 3)
+            ro = self._rollout_scan(variables, env, k_roll, sample=True)
+
+            masks = ro["logit_masks"]
+            returns = jax.lax.stop_gradient(ro["returns"])
+            advantages = (
+                (returns - ret_mean) / (ret_std + 1e-8) if reward_norm else returns
+            )
+            msum = jnp.maximum(masks.sum(), 1.0)
+            action_loss = -(ro["logprobs"] * advantages * masks).sum() / msum
+            entropy_loss = -(ro["entropies"] * masks).sum() / msum
+            loss = action_loss + entropy_weight * entropy_loss
+
+            metrics = {
+                "action_loss": action_loss,
+                "entropy_loss": entropy_loss,
+                "returns": (ro["rewards"] * masks).sum(axis=1).mean(),
+                "episode_length": masks.sum(axis=1).mean(),
+                # Window stats for cross-batch return normalization.
+                "ret_sum": (returns * masks).sum(),
+                "ret_sumsq": (returns**2 * masks).sum(),
+                "ret_count": masks.sum(),
+            }
+
+            stats = batch_stats
+            if detection:
+                patches, targets, pvalid = env.get_detection_batch(
+                    k_det, cfg.max_det_patches, sample_neg=1
+                )
+                det = detection_augment(k_aug, patches)
+                B, K = det.shape[:2]
+                flat = det.reshape((B * K,) + det.shape[2:])
+                (head_out, _), mut = model.apply(
+                    {"params": params, "batch_stats": stats},
+                    flat,
+                    True,
+                    method=GPT.yolox_outputs,
+                    mutable=["batch_stats"],
+                )
+                ylo = yolox_losses(
+                    head_out,
+                    targets.reshape((B * K,) + targets.shape[2:]),
+                    pvalid.reshape(-1),
+                )
+                loss = loss + ylo["total_loss"]
+                stats = mut["batch_stats"]
+                for name, value in ylo.items():
+                    metrics[f"yolo_{name}"] = value
+                metrics["yolo_loss"] = ylo["total_loss"]
+
+            metrics["loss"] = loss
+            return loss, (metrics, stats)
+
+        def train_step(state: TrainState, batch, rng, ret_mean, ret_std):
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (metrics, stats)), grads = grad_fn(
+                state.params, state.batch_stats, batch, rng, ret_mean, ret_std
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=params,
+                batch_stats=stats,
+                opt_state=opt_state,
+                step=state.step + 1,
+            )
+            return new_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    # --- return-normalization window (reference: reinforce.py:92-106) ---------
+    def _update_return_stats(self):
+        if not self._window_stats:
+            self.last_return_mean, self.last_return_std = 0.0, 1.0
+            return
+        total = float(sum(s[0] for s in self._window_stats))
+        totalsq = float(sum(s[1] for s in self._window_stats))
+        count = float(sum(s[2] for s in self._window_stats))
+        if count == 0:
+            mean, std = 0.0, 1.0
+        elif count == 1:
+            mean, std = total, 1.0
+        else:
+            mean = total / count
+            var = max(totalsq - count * mean * mean, 0.0) / (count - 1)
+            std = var**0.5
+        self.last_return_mean, self.last_return_std = mean, std
+        self._window_stats = []
+
+    # --- host batch assembly ----------------------------------------------------
+    def _build_env_batch(self, indices) -> Dict[str, np.ndarray]:
+        """Dense [B, Hf, Wf, C] images + [B, N, 4] padded boxes at the static
+        training shape (one XLA program for the whole run)."""
+        cfg = self.config
+        if not hasattr(self, "_fixed_shape"):
+            self._fixed_shape = fixed_training_shape(
+                self.train_dataset, cfg.patch_size
+            )
+        hf, wf = self._fixed_shape
+        images, boxes = [], []
+        for idx in indices:
+            item = self.train_dataset[int(idx)]
+            img = item["image"]
+            h, w = img.shape[:2]
+            images.append(np.pad(img, ((0, hf - h), (0, wf - w), (0, 0))))
+            b = np.asarray(item["bboxes"], np.float32).reshape(-1, 4)[
+                : cfg.max_boxes
+            ]
+            boxes.append(np.pad(b, ((0, cfg.max_boxes - len(b)), (0, 0))))
+        return {"image": np.stack(images), "bboxes": np.stack(boxes)}
+
+    # --- train loop (reference: src/reinforce.py:267-362) -----------------------
+    def run(self, rank: int = 0, world_size: int = 1, port: int = 0):
+        cfg = self.config
+        global_batch = cfg.batch_size * self.n_devices
+        order_rng = np.random.default_rng(cfg.seed)
+        key = jax.random.PRNGKey(cfg.seed)
+
+        if self.logger is not None:
+            self.logger.log_start(jax.device_get(self.state.params))
+
+        index_pool = []
+
+        def next_batch():
+            nonlocal index_pool
+            while len(index_pool) < global_batch:
+                index_pool += order_rng.permutation(
+                    len(self.train_dataset)
+                ).tolist()
+            indices, index_pool = (
+                index_pool[:global_batch],
+                index_pool[global_batch:],
+            )
+            return self._build_env_batch(indices)
+
+        prefetcher = Prefetcher(next_batch, n_prefetch=2)
+        try:
+            for self.iter_num in range(1, cfg.max_iters + 1):
+                self.maybe_profile(self.iter_num)
+                batch = next(prefetcher)
+                batch = shard_batch(self.mesh, batch)
+                key, step_key = jax.random.split(key)
+                self.state, metrics = self._train_step(
+                    self.state,
+                    batch,
+                    step_key,
+                    jnp.float32(self.last_return_mean),
+                    jnp.float32(self.last_return_std),
+                )
+                self.last_train_metrics = metrics
+                if cfg.reward_norm:
+                    self._window_stats.append(
+                        (metrics["ret_sum"], metrics["ret_sumsq"], metrics["ret_count"])
+                    )
+                    if self.iter_num % cfg.gradient_accumulation == 0:
+                        self._update_return_stats()
+
+                if self.iter_num % cfg.test_every == 0:
+                    self.test()
+        finally:
+            prefetcher.close()
+            self.maybe_profile(-1)
+
+        self.prepare_validation()
+        self.test()
+
+    # --- evaluation --------------------------------------------------------------
+    def _get_eval_rollout(self, image_shape: Tuple[int, int, int]):
+        """Jitted single-image eval rollout, cached per image shape."""
+        if image_shape not in self._eval_rollouts:
+            cfg = self.config
+
+            @partial(jax.jit, static_argnames=("sample",))
+            def eval_rollout(variables, image, boxes, key, sample=False):
+                env = NeedleEnv(
+                    image[None],
+                    boxes[None],
+                    cfg.patch_size,
+                    self.max_ep_len,
+                    self.n_glimps_levels,
+                    self.stop_enabled,
+                )
+                ro = self._rollout_scan(variables, env, key, sample=sample)
+                state = ro.pop("final_state")
+                ro["prop_patches_found"] = env.prop_patches_found(state)
+                ro["prop_bboxes_found"] = env.prop_bboxes_found(state)
+                ro["terminated"] = env.terminated(state)
+                return ro
+
+            self._eval_rollouts[image_shape] = eval_rollout
+        return self._eval_rollouts[image_shape]
+
+    def compute_rollout_metrics(self, ro: Dict[str, np.ndarray]) -> Dict[str, float]:
+        """Host-side metric computation on a fetched rollout (reference:
+        src/reinforce.py:217-265)."""
+        cfg = self.config
+        masks = ro["logit_masks"]
+        returns = ro["returns"]
+        if cfg.reward_norm:
+            advantages = (returns - self.last_return_mean) / (
+                self.last_return_std + 1e-8
+            )
+        else:
+            advantages = returns
+        msum = max(masks.sum(), 1.0)
+        metrics = {}
+        metrics["action_loss"] = float(
+            -(ro["logprobs"] * advantages * masks).sum() / msum
+        )
+        metrics["entropy_loss"] = float(-(ro["entropies"] * masks).sum() / msum)
+        metrics["loss"] = (
+            metrics["action_loss"] + self.entropy_weight * metrics["entropy_loss"]
+        )
+        metrics["returns"] = float((ro["rewards"] * masks).sum(axis=1).mean())
+        metrics["episode_length"] = float(masks.sum(axis=1).mean())
+        metrics["prop_patches_found"] = float(ro["prop_patches_found"][0])
+        metrics["prop_bbox_found"] = float(ro["prop_bboxes_found"][0])
+        if self.stop_enabled:
+            stop_used = bool(ro["terminated"][0])
+            metrics["stop_used"] = float(stop_used)
+            metrics["stop_misused"] = float(
+                stop_used and metrics["prop_patches_found"] < 1
+            )
+        return metrics
+
+    def eval_on_sample(
+        self, item: dict, plot_traj: bool = False, sample_actions: bool = False
+    ):
+        """Rollout + detection metrics on one image (reference:
+        src/reinforce.py:417-493)."""
+        cfg = self.config
+        image = item["image"]
+        boxes = np.asarray(item["bboxes"], np.float32).reshape(-1, 4)
+        n = max(len(boxes), 1)
+        boxes_padded = np.zeros((n, 4), np.float32)
+        boxes_padded[: len(boxes)] = boxes
+
+        variables = self.eval_variables()
+        rollout_fn = self._get_eval_rollout(image.shape)
+        self._eval_key = jax.random.split(
+            getattr(self, "_eval_key", jax.random.PRNGKey(cfg.seed))
+        )[0]
+        ro = jax.device_get(
+            rollout_fn(
+                variables,
+                jnp.asarray(image),
+                jnp.asarray(boxes_padded),
+                self._eval_key,
+                sample=sample_actions,
+            )
+        )
+        metrics = self.compute_rollout_metrics(ro)
+
+        positions = ro["positions"][0]  # [T+1, 2]
+        masks = ro["masks"][0]  # [T+1]
+        n_valid = int(masks.sum())
+        patches = gather_patches(image, positions[:n_valid], cfg.patch_size)
+
+        full_img_preds = [None]
+        full_img_targets = [
+            np.concatenate(
+                [np.zeros((len(boxes), 1), np.float64), boxes.astype(np.float64)],
+                axis=1,
+            )
+        ]
+        if cfg.detection_enabled:
+            # Detection along the trajectory: one batched call over the
+            # visited patches (vs. the reference's per-step yolox calls,
+            # reference: src/reinforce.py:141-167), padded to a fixed length
+            # so every episode hits the same compiled program.
+            T_pad = self.max_ep_len + 1
+            patches_padded = np.zeros(
+                (T_pad,) + patches.shape[1:], patches.dtype
+            )
+            patches_padded[:n_valid] = patches
+            head_out = jax.device_get(
+                self._yolox_predict(variables, jnp.asarray(patches_padded))
+            )
+            traj_preds = postprocess(
+                head_out["boxes"],
+                jax.nn.sigmoid(head_out["obj_logits"]),
+                jax.nn.sigmoid(head_out["cls_logits"]),
+                conf_threshold=self.model.detector_conf_threshold,
+                patch_size=cfg.patch_size,
+            )[:n_valid]
+            offsets = positions[:n_valid][:, [1, 0]] * cfg.patch_size
+            full_img_preds = patch_bboxes2full_image(
+                [traj_preds], offsets[None], np.ones((1, n_valid), bool)
+            )
+            if cfg.merge_bboxes:
+                full_img_preds = merge_boxes_batched(full_img_preds, target=False)
+                full_img_targets = [
+                    m
+                    for m in merge_boxes_batched(full_img_targets, target=True)
+                ]
+            for name, value in compute_detection_metrics(
+                full_img_preds, full_img_targets
+            ).items():
+                metrics[name] = value
+
+            # Full-image detector metrics on all positive patches (reference:
+            # src/reinforce.py:469-479).
+            env = NeedleEnv(
+                jnp.asarray(image)[None],
+                jnp.asarray(boxes_padded)[None],
+                cfg.patch_size,
+                self.max_ep_len,
+                1,
+                self.stop_enabled,
+            )
+            det_key = jax.random.PRNGKey(0)
+            det_patches, det_targets, det_valid = jax.device_get(
+                env.get_detection_batch(det_key, cfg.max_det_patches, sample_neg=0)
+            )
+            k_valid = det_valid[0].astype(bool)
+            if k_valid.any():
+                # Fixed-shape call over the padded patch set; padding masked.
+                det_head = jax.device_get(
+                    self._yolox_predict(variables, jnp.asarray(det_patches[0]))
+                )
+                det_preds = postprocess(
+                    det_head["boxes"],
+                    jax.nn.sigmoid(det_head["obj_logits"]),
+                    jax.nn.sigmoid(det_head["cls_logits"]),
+                    conf_threshold=self.model.detector_conf_threshold,
+                    patch_size=cfg.patch_size,
+                )
+                det_preds = [p for p, v in zip(det_preds, k_valid) if v]
+                det_gts = []
+                for rows, v in zip(det_targets[0], k_valid):
+                    if not v:
+                        continue
+                    keep = rows[rows[:, 5] == 1]
+                    det_gts.append(
+                        np.concatenate([keep[:, :1], keep[:, 1:5]], axis=1)
+                    )
+                for name, value in compute_detection_metrics(
+                    det_preds, det_gts
+                ).items():
+                    metrics["yolo_" + name] = value
+                ylo = jax.device_get(
+                    self._yolox_losses(
+                        jax.tree_util.tree_map(jnp.asarray, det_head),
+                        jnp.asarray(det_targets[0]),
+                        jnp.asarray(k_valid),
+                    )
+                )
+                for name, value in ylo.items():
+                    metrics["yolo_" + name] = float(value)
+
+        plot_image = None
+        if plot_traj:
+            true_bboxes = [
+                BBox(Position(y=b[1], x=b[0]), Position(y=b[3], x=b[2]))
+                for b in boxes
+            ]
+            pred_bboxes = parse_bbox_predictions([full_img_preds[0]])
+            plot_image = plot_model_prediction(
+                image,
+                patches,
+                positions[:n_valid],
+                true_bboxes=true_bboxes,
+                predicted_bboxes=pred_bboxes,
+            )
+        return metrics, plot_image
+
+    def test(self, sample_actions: bool = False):
+        """Test cycle (reference: src/reinforce.py:364-415)."""
+        dataset = self.test_dataset
+        env_ids = self.test_env_ids
+        all_metrics = defaultdict(list)
+        plot_images = {"model_images": []}
+
+        visual_ids = set(
+            self.rng.choice(
+                np.arange(len(env_ids)), size=min(6, len(env_ids)), replace=False
+            ).tolist()
+        )
+        translations, rotations = dataset.translations, dataset.rotations
+        dataset.translations = dataset.rotations = False
+        try:
+            for loop_id, env_id in enumerate(env_ids):
+                item = dataset.__getitem__(
+                    int(env_id), np.random.default_rng(loop_id)
+                )
+                plot_traj = loop_id in visual_ids
+                metrics, plot_image = self.eval_on_sample(
+                    item, plot_traj, sample_actions
+                )
+                if plot_traj:
+                    plot_images["model_images"].append(plot_image)
+                for name, value in metrics.items():
+                    all_metrics[name].append(value)
+
+            if self.config.failure_select_rate > 0:
+                worst_count = int(
+                    self.config.failure_select_rate * len(dataset)
+                )
+                if worst_count > 0 and all_metrics[self.best_metric_name]:
+                    arr = np.array(all_metrics[self.best_metric_name])
+                    worst_ids = np.argsort(arr)[:worst_count]
+                    plot_images["worst_images"] = []
+                    for worst_id in worst_ids:
+                        item = dataset.__getitem__(
+                            int(np.asarray(env_ids)[worst_id]),
+                            np.random.default_rng(int(worst_id)),
+                        )
+                        _, plot_image = self.eval_on_sample(item, True)
+                        plot_images["worst_images"].append(plot_image)
+        finally:
+            dataset.translations = translations
+            dataset.rotations = rotations
+
+        self.last_test_metrics = all_metrics
+        self.best_metric_history.append(
+            float(np.mean(all_metrics[self.best_metric_name]))
+            if all_metrics[self.best_metric_name]
+            else 0.0
+        )
+        if self.logger is not None:
+            self.logger.log_to_visdom(all_metrics, plot_images, "test")
+        self.save_state()
+        self.save_metrics()

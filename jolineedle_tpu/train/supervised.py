@@ -175,6 +175,7 @@ class SupervisedTrainer(Trainer):
         prefetcher = Prefetcher(next_batch, n_prefetch=2)
         try:
             for self.iter_num in range(1, cfg.max_iters):
+                self.maybe_profile(self.iter_num)
                 batch = next(prefetcher)
                 batch = shard_batch(self.mesh, batch)
                 key, step_key = jax.random.split(key)
@@ -187,6 +188,7 @@ class SupervisedTrainer(Trainer):
                     self.test()
         finally:
             prefetcher.close()
+            self.maybe_profile(-1)
 
         self.prepare_validation()
         self.test()
@@ -264,33 +266,42 @@ class SupervisedTrainer(Trainer):
             if action == Action.STOP.value:
                 break
 
-        # Detection on the visited patches (single batched call, unlike the
-        # reference's per-patch loop).
+        # Detection on the visited patches: ONE fixed-shape batched call
+        # (padded to test_max_seq_len so every episode length hits the same
+        # compiled program), unlike the reference's per-patch loop.
         visited = np.array(positions, np.int32)
+        n_visited = len(visited)
+        T_pad = max(max_ep_len, n_visited)
         patches = gather_patches(image, visited, cfg.patch_size)
-        local_bboxes = np.zeros(
-            (len(visited), cfg.max_boxes, 6), np.float32
+        patches_padded = np.zeros(
+            (T_pad,) + patches.shape[1:], patches.dtype
         )
+        patches_padded[:n_visited] = patches
+        patch_valid = np.arange(T_pad) < n_visited
+        local_bboxes = np.zeros((T_pad, cfg.max_boxes, 6), np.float32)
         for i, pos in enumerate(visited):
             local = env.local_bboxes(tuple(pos))
             k = min(len(local), cfg.max_boxes)
             local_bboxes[i, :k] = local[:k]
 
-        head_out = self._yolox_predict(variables, jnp.asarray(patches))
-        head_out = jax.device_get(head_out)
+        head_out = jax.device_get(
+            self._yolox_predict(variables, jnp.asarray(patches_padded))
+        )
         bbox_outs = postprocess(
             head_out["boxes"],
             jax.nn.sigmoid(head_out["obj_logits"]),
             jax.nn.sigmoid(head_out["cls_logits"]),
             conf_threshold=self.model.detector_conf_threshold,
             patch_size=cfg.patch_size,
-        )
+        )[:n_visited]
         yolo_loss = jax.device_get(
-            yolox_losses(
+            self._yolox_losses(
                 jax.tree_util.tree_map(jnp.asarray, head_out),
                 jnp.asarray(local_bboxes),
+                jnp.asarray(patch_valid),
             )
         )
+        local_bboxes = local_bboxes[:n_visited]
 
         metrics = {}
         if pred_logits:
@@ -498,7 +509,7 @@ class SupervisedTrainer(Trainer):
         for start in range(0, len(env_ids), bs):
             ids = env_ids[start : start + bs]
             batch = build_supervised_batch(dataset, ids, cfg, rng)
-            logits, _ = self.model.apply(
+            logits = self._forward(
                 variables,
                 jnp.asarray(batch["patches"]),
                 jnp.asarray(batch["current_actions"]),
@@ -531,7 +542,9 @@ class SupervisedTrainer(Trainer):
                     )
                 )
                 valid = jnp.asarray(batch["yolox_valid"].reshape(-1))
-                ylo = jax.device_get(yolox_losses(head_out, targets, valid))
+                ylo = jax.device_get(
+                    self._yolox_losses(head_out, targets, valid)
+                )
                 for name, value in ylo.items():
                     all_metrics[f"yolo_{name}"].append(float(value))
                 all_metrics["yolo_loss"].append(float(ylo["total_loss"]))

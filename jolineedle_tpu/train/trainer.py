@@ -92,6 +92,14 @@ class Trainer:
                 v, patches, False, method=GPT.yolox_outputs
             )[0]
         )
+        self._forward = jax.jit(
+            lambda v, patches, actions, classes, positions: self.model.apply(
+                v, patches, actions, classes, positions
+            )[0]
+        )
+        from ..ops.simota import yolox_losses as _yl
+
+        self._yolox_losses = jax.jit(_yl)
 
     # --- state ------------------------------------------------------------
     def _init_state(self) -> TrainState:
@@ -186,6 +194,24 @@ class Trainer:
                 " using last checkpoint"
             )
         self.test_env_ids = list(range(len(self.test_dataset)))
+
+    # --- profiling (replaces the reference's thop/tqdm-only story,
+    # SURVEY.md section 5: "TPU rebuild: jax.profiler trace option") --------
+    _profiling = False
+
+    def maybe_profile(self, iter_num: int):
+        """Capture a jax.profiler trace of train iterations 2-6 when
+        ``--profile-dir`` is set; ``iter_num=-1`` force-stops."""
+        profile_dir = getattr(self.config, "profile_dir", "")
+        if not profile_dir:
+            return
+        if iter_num == 2 and not self._profiling:
+            jax.profiler.start_trace(profile_dir)
+            self._profiling = True
+        elif (iter_num == -1 or iter_num > 6) and self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            print(f"Profiler trace written to {profile_dir}")
 
     # --- detection metrics (statics, reference: trainer.py:188-280) --------
     compute_detection_metrics = staticmethod(compute_detection_metrics)

@@ -16,9 +16,17 @@ import jax
 import numpy as np
 
 # The axon TPU plugin overrides JAX_PLATFORMS at registration time; honor the
-# user's environment explicitly (JAX_PLATFORMS=cpu must mean cpu).
-if os.environ.get("JAX_PLATFORMS"):
+# user's environment explicitly (JAX_PLATFORMS=cpu must mean cpu) — but never
+# clobber a platform already selected programmatically (the test conftest
+# pins cpu via jax.config before importing this module).
+if os.environ.get("JAX_PLATFORMS") and not jax.config.jax_platforms:
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+# Multi-host (DCN) training: one process per host joins the cluster and the
+# data mesh spans all hosts' devices — this one call replaces the reference's
+# MASTER_ADDR/port process-group rendezvous (reference: src/trainer.py:61-71).
+if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    jax.distributed.initialize()
 
 from jolineedle_tpu.config import args_to_config, get_args, save_config
 from jolineedle_tpu.data.dataset import build_datasets

@@ -1,0 +1,81 @@
+"""End-to-end REINFORCE pipeline test (mirrors reference tests/test_rl.py
+but on a locally generated toy dataset and tiny shapes, and — unlike the
+reference, which left artifact assertions as TODOs (reference:
+tests/test_rl.py:54-55) — asserts the output artifacts)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def toy_dir(tmp_path_factory):
+    from jolineedle_tpu.data.toy import generate_toy_dataset
+
+    return generate_toy_dataset(
+        tmp_path_factory.mktemp("toylard"),
+        n_train=6,
+        n_test=3,
+        image_size=(256, 320),
+        seed=1,
+    )
+
+
+def test_reinforce_pipeline(toy_dir, tmp_path):
+    import main
+
+    work_dir = str(tmp_path / "checkpoints")
+    # fmt: off
+    cli_args = [
+        "--seed", "12345",
+        "--dataset-dir", str(toy_dir),
+        "--training-mode", "reinforce",
+        "--work-dir", work_dir,
+        "--max-iters", "3",
+        "--test-every", "2",
+        "--test-samples", "2",
+        "--env-name", "reinforce",
+        "--group", "test",
+        "--model-type", "gpt-nano",
+        "--gpt-backbone", "yolox-nano",
+        "--image-processor", "yolox-nano",
+        "--concat-embeddings",
+        "--decoder-pos-encoding",
+        "--use-positional-embedding",
+        "--enable-stop",
+        "--entropy-weight", "0.1",
+        "--max-seq-len", "4",
+        "--batch-size", "2",
+        "--gradient-accumulation", "2",
+        "--dropout", "0.0",
+        "--patch-size", "64",
+        "--minimum-image-size", "0",
+        "--detector-conf-threshold", "0.05",
+        "--lr", "0.0001",
+        "--yolo-lr", "0.0001",
+        "--devices", "0",
+        "--max-det-patches", "6",
+        "--max-boxes", "4",
+        "--compute-dtype", "float32",
+    ]
+    # fmt: on
+    args = main.get_args(cli_args)
+    trainer = main.main(args)
+
+    out_dir = os.path.join(work_dir, "test_reinforce")
+    assert os.path.exists(os.path.join(out_dir, "config.json"))
+    assert os.path.exists(os.path.join(out_dir, "checkpoint.msgpack"))
+    assert os.path.exists(os.path.join(out_dir, "metrics.json"))
+    with open(os.path.join(out_dir, "metrics.json")) as f:
+        metrics = json.load(f)
+    assert "prop_patches_found" in metrics
+    assert 0.0 <= metrics["prop_patches_found"] <= 1.0
+    assert "stop_used" in metrics
+    assert np.isfinite(metrics["returns"])
+    # The detector ran along the trajectory.
+    assert "yolo_map" in metrics or "map" in metrics
+    # Return-normalization window was maintained.
+    assert np.isfinite(trainer.last_return_mean)
+    assert np.isfinite(trainer.last_return_std)
