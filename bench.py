@@ -105,13 +105,19 @@ def bench_scan_rollout(trainer, images, boxes, iters: int) -> float:
     images_d = jnp.asarray(images)
     boxes_d = jnp.asarray(boxes)
     key = jax.random.PRNGKey(0)
-    jax.block_until_ready(rollout(variables, images_d, boxes_d, key)["rewards"])
+    # Force execution with a host fetch of a scalar: on the tunneled-TPU
+    # runtime ``block_until_ready`` resolves before execution, and unneeded
+    # programs may be evaluated lazily — chaining every rollout's rewards
+    # into one fetched accumulator makes the timing honest.
+    float(rollout(variables, images_d, boxes_d, key)["rewards"].sum())
 
     t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
     for i in range(iters):
         key = jax.random.fold_in(key, i)
         out = rollout(variables, images_d, boxes_d, key)
-    jax.block_until_ready(out["rewards"])
+        acc = acc + out["rewards"].sum()
+    float(acc)
     return time.perf_counter() - t0
 
 
@@ -126,7 +132,14 @@ def bench_reference_style_rollout(
     with the prefix in the reference design (full-prefix re-run), so a short
     prefix UNDERSTATES the baseline's cost and the reported speedup is a
     lower bound."""
-    from jolineedle_tpu.env.oracle import gather_patches
+
+    def gather_patches(image, positions, P):
+        return np.stack(
+            [
+                image[y * P : (y + 1) * P, x * P : (x + 1) * P]
+                for y, x in positions
+            ]
+        )
 
     variables = trainer.eval_variables()
     cfg = trainer.config
@@ -149,14 +162,14 @@ def bench_reference_style_rollout(
         [gather_patches(images[i], warm_pos[i], P) for i in range(B)]
     )
     for t in range(1, n_steps + 1):
-        jax.block_until_ready(
+        float(
             fwd(
                 variables,
                 jnp.asarray(np.repeat(warm_patches, t, axis=1)),
                 jnp.zeros((B, t), jnp.int32),
                 jnp.zeros((B,), jnp.int32),
                 jnp.asarray(np.repeat(warm_pos, t, axis=1)),
-            )
+            ).sum()
         )
 
     t0 = time.perf_counter()
@@ -201,8 +214,8 @@ def bench_reference_style_rollout(
 
 def main():
     small = os.environ.get("BENCH_SMALL", "") == "1"
-    iters = int(os.environ.get("BENCH_ITERS", 2 if small else 10))
-    base_iters = max(1, iters // 5)
+    iters = int(os.environ.get("BENCH_ITERS", 2 if small else 50))
+    base_iters = max(1, min(2, iters // 5))
 
     trainer, model, images, boxes, batch, max_ep_len, patch = build(small)
 

@@ -107,15 +107,19 @@ class Trainer:
         P = cfg.patch_size
         B, T = 1, 1
         init_rng = jax.random.PRNGKey(cfg.seed)
-        variables = self.model.init(
-            init_rng,
-            jnp.zeros((B, T, P, P, cfg.n_channels)),
-            jnp.zeros((B, T), jnp.int32),
-            jnp.zeros((B,), jnp.int32),
-            jnp.zeros((B, T, 2), jnp.int32),
-            jnp.zeros((B, P, P, cfg.n_channels)),
-            method=GPT.init_all,
-        )
+        # jit the init: one compiled program instead of thousands of eager op
+        # dispatches (each a network round trip on a tunneled TPU).
+        variables = jax.jit(
+            lambda rng: self.model.init(
+                rng,
+                jnp.zeros((B, T, P, P, cfg.n_channels)),
+                jnp.zeros((B, T), jnp.int32),
+                jnp.zeros((B,), jnp.int32),
+                jnp.zeros((B, T, 2), jnp.int32),
+                jnp.zeros((B, P, P, cfg.n_channels)),
+                method=GPT.init_all,
+            )
+        )(init_rng)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 
