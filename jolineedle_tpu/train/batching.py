@@ -114,21 +114,58 @@ def build_supervised_batch(
 
 
 class Prefetcher:
-    """Background-thread batch producer with a bounded queue."""
+    """Background-thread batch producer with a bounded queue.
 
-    def __init__(self, make_batch, n_prefetch: int = 2):
-        self._queue: queue.Queue = queue.Queue(maxsize=n_prefetch)
+    ``num_workers`` > 1 assembles batches from several threads (PIL decode
+    and numpy slicing release the GIL) — the reference's DataLoader worker
+    count (reference: main.py ``--num-workers``). When ``pick_work`` is
+    given, it is called under an internal lock to draw the next work item
+    (e.g. sample indices) and ``make_batch(work)`` runs in parallel; without
+    it, ``make_batch()`` itself must be thread-safe for num_workers > 1.
+    Batch order is non-deterministic across workers, which is fine for
+    shuffled training.
+    """
+
+    def __init__(
+        self,
+        make_batch,
+        n_prefetch: int = 2,
+        num_workers: int = 1,
+        pick_work=None,
+    ):
+        num_workers = max(1, int(num_workers))
+        self._queue: queue.Queue = queue.Queue(
+            maxsize=max(n_prefetch, num_workers)
+        )
         self._make_batch = make_batch
+        self._pick_work = pick_work
+        self._lock = threading.Lock()
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        self._active = num_workers
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(num_workers)
+        ]
+        for t in self._threads:
+            t.start()
 
     def _worker(self):
         while not self._stop.is_set():
             try:
-                batch = self._make_batch()
+                if self._pick_work is not None:
+                    with self._lock:
+                        work = self._pick_work()
+                    batch = self._make_batch(work)
+                else:
+                    batch = self._make_batch()
             except StopIteration:
-                self._queue.put(None)
+                # End-of-stream sentinel only once EVERY worker has drained,
+                # so late batches from other workers are not cut off.
+                with self._lock:
+                    self._active -= 1
+                    last = self._active == 0
+                if last:
+                    self._queue.put(None)
                 return
             while not self._stop.is_set():
                 try:

@@ -302,7 +302,7 @@ class ReinforceTrainer(Trainer):
         self._window_stats = []
 
     # --- host batch assembly ----------------------------------------------------
-    def _build_env_batch(self, indices) -> Dict[str, np.ndarray]:
+    def _build_env_batch(self, indices, seed: int = 0) -> Dict[str, np.ndarray]:
         """Dense [B, Hf, Wf, C] images + [B, N, 4] padded boxes at the static
         training shape (one XLA program for the whole run)."""
         cfg = self.config
@@ -311,9 +311,10 @@ class ReinforceTrainer(Trainer):
                 self.train_dataset, cfg.patch_size
             )
         hf, wf = self._fixed_shape
+        rng = np.random.default_rng(seed)
         images, boxes = [], []
         for idx in indices:
-            item = self.train_dataset[int(idx)]
+            item = self.train_dataset.__getitem__(int(idx), rng)
             img = item["image"]
             h, w = img.shape[:2]
             images.append(np.pad(img, ((0, hf - h), (0, wf - w), (0, 0))))
@@ -334,8 +335,9 @@ class ReinforceTrainer(Trainer):
             self.logger.log_start(jax.device_get(self.state.params))
 
         index_pool = []
+        batch_counter = [0]
 
-        def next_batch():
+        def pick_work():
             nonlocal index_pool
             while len(index_pool) < global_batch:
                 index_pool += order_rng.permutation(
@@ -345,9 +347,15 @@ class ReinforceTrainer(Trainer):
                 index_pool[:global_batch],
                 index_pool[global_batch:],
             )
-            return self._build_env_batch(indices)
+            batch_counter[0] += 1
+            return indices, cfg.seed + 1 + batch_counter[0]
 
-        prefetcher = Prefetcher(next_batch, n_prefetch=2)
+        prefetcher = Prefetcher(
+            lambda work: self._build_env_batch(work[0], work[1]),
+            n_prefetch=2,
+            num_workers=cfg.num_workers,
+            pick_work=pick_work,
+        )
         try:
             for self.iter_num in range(1, cfg.max_iters + 1):
                 self.maybe_profile(self.iter_num)

@@ -154,15 +154,17 @@ class SupervisedTrainer(Trainer):
         global_batch = cfg.batch_size * self.n_devices
         dataset = self.train_dataset
         order_rng = np.random.default_rng(cfg.seed)
-        data_rng = self.np_rng
         key = jax.random.PRNGKey(cfg.seed)
 
         if self.logger is not None:
             self.logger.log_start(jax.device_get(self.state.params))
 
         index_pool: List[int] = []
+        batch_counter = [0]
 
-        def next_batch():
+        def pick_work():
+            # Serialized by the prefetcher: draws sample indices and a
+            # per-batch rng seed so workers never share rng state.
             nonlocal index_pool
             while len(index_pool) < global_batch:
                 index_pool += order_rng.permutation(len(dataset)).tolist()
@@ -170,9 +172,21 @@ class SupervisedTrainer(Trainer):
                 index_pool[:global_batch],
                 index_pool[global_batch:],
             )
-            return build_supervised_batch(dataset, indices, cfg, data_rng)
+            batch_counter[0] += 1
+            return indices, cfg.seed + 1 + batch_counter[0]
 
-        prefetcher = Prefetcher(next_batch, n_prefetch=2)
+        def make_batch(work):
+            indices, seed = work
+            return build_supervised_batch(
+                dataset, indices, cfg, np.random.default_rng(seed)
+            )
+
+        prefetcher = Prefetcher(
+            make_batch,
+            n_prefetch=2,
+            num_workers=cfg.num_workers,
+            pick_work=pick_work,
+        )
         try:
             for self.iter_num in range(1, cfg.max_iters):
                 self.maybe_profile(self.iter_num)

@@ -67,3 +67,23 @@ def plot_model_prediction(
     figure.clear()
     plt.close(figure)
     return (out.astype(np.float32) / 255.0).transpose(2, 0, 1)
+
+
+def save_batch(images: np.ndarray, path: str, n_cols: int = 4):
+    """Dump a batch of images as one mosaic PNG (debugging aid; reference:
+    src/utils.py:396-423, cv2 replaced by PIL).
+
+    ``images``: [B, H, W, C] floats in [0, 1].
+    """
+    from PIL import Image
+
+    images = np.asarray(images)
+    b, h, w, c = images.shape
+    n_rows = -(-b // n_cols)
+    mosaic = np.zeros((n_rows * h, n_cols * w, c), np.float32)
+    for i in range(b):
+        r, col = divmod(i, n_cols)
+        mosaic[r * h : (r + 1) * h, col * w : (col + 1) * w] = images[i]
+    Image.fromarray(
+        np.clip(mosaic * 255, 0, 255).astype(np.uint8)
+    ).save(path)
