@@ -82,12 +82,17 @@ class NeedleEnv:
         n_glimps_levels: int = 1,
         stop_enabled: bool = False,
         box_valid: Optional[jax.Array] = None,
+        terminate_on_all_found: bool = True,
         _prebuilt=None,
     ):
         self.patch_size = int(patch_size)
         self.max_ep_len = int(max_ep_len)
         self.n_glimps_levels = int(n_glimps_levels)
         self.stop_enabled = bool(stop_enabled)
+        # The supervised autoregressive eval keeps walking after all bbox
+        # patches are visited (reference: src/supervised.py:326-363 has no
+        # all-found break); RL terminates there (general_env.py:235-246).
+        self.terminate_on_all_found = bool(terminate_on_all_found)
 
         if _prebuilt is not None:
             self.images, self.bboxes, self.box_valid, self.bbox_masks = _prebuilt
@@ -133,12 +138,19 @@ class NeedleEnv:
             self.max_ep_len,
             self.n_glimps_levels,
             self.stop_enabled,
+            self.terminate_on_all_found,
         )
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        patch_size, max_ep_len, n_glimps_levels, stop_enabled = aux
+        (
+            patch_size,
+            max_ep_len,
+            n_glimps_levels,
+            stop_enabled,
+            terminate_on_all_found,
+        ) = aux
         return cls(
             None,
             None,
@@ -146,6 +158,7 @@ class NeedleEnv:
             max_ep_len,
             n_glimps_levels,
             stop_enabled,
+            terminate_on_all_found=terminate_on_all_found,
             _prebuilt=leaves,
         )
 
@@ -242,6 +255,8 @@ class NeedleEnv:
         src/env/general_env.py:235-246)."""
         if self.stop_enabled:
             return state.has_stopped
+        if not self.terminate_on_all_found:
+            return jnp.zeros((self.batch_size,), bool)
         missing = self.bbox_masks & ~state.visited
         return ~missing.any(axis=(1, 2))
 

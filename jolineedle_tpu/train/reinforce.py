@@ -110,89 +110,8 @@ class ReinforceTrainer(Trainer):
         self._train_step = self._build_train_step()
         self._eval_rollouts = {}  # image shape -> jitted eval rollout
 
-    # --- rollout core (traced inside jit) -----------------------------------
-    def _rollout_scan(self, variables, env: NeedleEnv, key, sample: bool):
-        """One full batched rollout as a ``lax.scan``; O(1) transformer work
-        per step via the KV cache (vs. the reference's full-prefix re-run,
-        reference: src/models/gpt.py:427-435)."""
-        model = self.model
-        B = env.batch_size
-        k_reset, k_scan = jax.random.split(key)
-        state, patches, _ = env.reset(key=k_reset)
-        # Class token is always 0 in RL (reference: src/reinforce.py:129).
-        classes = jnp.zeros((B,), jnp.int32)
-        cache = model.apply(variables, classes, method=GPT.init_cache)
-        init_positions = state.positions
-
-        def step_fn(carry, t):
-            state, cache, prev_action, patches, done, key = carry
-            logits, cache = model.apply(
-                variables,
-                cache,
-                patches[:, 0],
-                prev_action,
-                state.positions,
-                t,
-                method=GPT.decode_step,
-            )
-            logits = logits.astype(jnp.float32)
-            key, k_sample = jax.random.split(key)
-            if sample:
-                action = jax.random.categorical(k_sample, logits)
-            else:
-                action = jnp.argmax(logits, axis=-1)
-            action = action.astype(jnp.int32)
-            logp_all = jax.nn.log_softmax(logits)
-            logprob = jnp.take_along_axis(logp_all, action[:, None], axis=1)[:, 0]
-            entropy = -(jnp.exp(logp_all) * logp_all).sum(-1)
-
-            logit_mask = ~done
-            state, patches, rewards, terminated, _, _ = env.masked_step(
-                state, action, done
-            )
-            done = done | terminated
-            ys = (rewards, logprob, entropy, logit_mask, ~terminated, state.positions)
-            return (state, cache, action, patches, done, key), ys
-
-        carry0 = (
-            state,
-            cache,
-            jnp.zeros((B,), jnp.int32),
-            patches,
-            jnp.zeros((B,), bool),
-            k_scan,
-        )
-        (state, *_), ys = jax.lax.scan(
-            step_fn, carry0, jnp.arange(self.max_ep_len)
-        )
-        rewards, logprobs, entropies, logit_masks, alive, step_positions = ys
-
-        to_bt = lambda x: jnp.moveaxis(x, 0, 1)  # [T, B, ...] -> [B, T, ...]
-        rewards = to_bt(rewards)
-        logprobs = to_bt(logprobs)
-        entropies = to_bt(entropies)
-        logit_masks = to_bt(logit_masks).astype(jnp.float32)
-        # masks[:, 0] = True at reset, then ~terminated after each step
-        # (reference: src/reinforce.py:133-139, 172).
-        masks = jnp.concatenate(
-            [jnp.ones((B, 1), bool), to_bt(alive)], axis=1
-        )
-        positions = jnp.concatenate(
-            [init_positions[:, None], to_bt(step_positions)], axis=1
-        )  # [B, T+1, 2]
-
-        masked_rewards = rewards * logit_masks
-        returns = jnp.flip(jnp.cumsum(jnp.flip(masked_rewards, 1), 1), 1)
-        return {
-            "rewards": rewards,
-            "returns": returns,
-            "logprobs": logprobs,
-            "entropies": entropies,
-            "logit_masks": logit_masks,
-            "masks": masks,
-            "positions": positions,
-            "final_state": state,
-        }
+    # The rollout core lives in the Trainer base (`_rollout_scan`) — it is
+    # shared with the supervised autoregressive eval.
 
     # --- jitted train step ----------------------------------------------------
     def _build_train_step(self):

@@ -217,6 +217,47 @@ class SupervisedTrainer(Trainer):
         keypoints = env.build_keypoints_trajectory()
         return env.remove_stop_action(move_towards(env.position, keypoints[0]))
 
+    def _get_sup_eval_rollout(self, image_shape):
+        """Jitted single-image autoregressive eval rollout (greedy or
+        sampled), cached per image shape. The whole episode runs on-device in
+        one dispatch (the reference re-runs the transformer on the full
+        prefix per step from a host loop, reference: src/supervised.py:326-333)."""
+        if not hasattr(self, "_sup_eval_rollouts"):
+            self._sup_eval_rollouts = {}
+        if image_shape not in self._sup_eval_rollouts:
+            cfg = self.config
+            from functools import partial
+
+            from ..env.batched_env import NeedleEnv
+
+            @partial(jax.jit, static_argnames=("sample",))
+            def sup_rollout(variables, image, boxes, classes, pos0, key, sample):
+                env = NeedleEnv(
+                    image[None],
+                    boxes[None],
+                    cfg.patch_size,
+                    cfg.test_max_seq_len - 1,  # steps = positions - 1
+                    1,
+                    cfg.stop_enabled,
+                    # The reference eval loop has no all-found break
+                    # (reference: src/supervised.py:326-363).
+                    terminate_on_all_found=False,
+                )
+                ro = self._rollout_scan(
+                    variables,
+                    env,
+                    key,
+                    sample=sample,
+                    classes=classes,
+                    collect=("logits", "actions"),
+                    positions=pos0[None],
+                )
+                ro.pop("final_state")
+                return ro
+
+            self._sup_eval_rollouts[image_shape] = sup_rollout
+        return self._sup_eval_rollouts[image_shape]
+
     def test_model_on_env(
         self,
         item: dict,
@@ -227,8 +268,12 @@ class SupervisedTrainer(Trainer):
         env: Optional[OracleEnv] = None,
         sample_rng: Optional[np.random.Generator] = None,
     ) -> tuple:
-        """Greedy/sampled autoregressive rollout on one image using the
-        KV-cache decode path (reference: src/supervised.py:279-405)."""
+        """Greedy/sampled autoregressive rollout on one image — one on-device
+        scan dispatch, then a host replay against the oracle for the per-step
+        optimal-action labels (reference: src/supervised.py:279-405; label
+        alignment parity: logits taken BEFORE the step are paired with the
+        optimal action at the post-step state, reference:
+        src/supervised.py:333-351)."""
         cfg = self.config
         image = item["image"]
         boxes = np.asarray(item["bboxes"], np.float64).reshape(-1, 4)
@@ -237,48 +282,46 @@ class SupervisedTrainer(Trainer):
         env.reset(position)
 
         variables = self.eval_variables()
-        classes = jnp.array([class_id], jnp.int32)
-        cache = self._init_cache(variables, classes)
+        if sample_rng is None:
+            sample_rng = np.random.default_rng(0)
+        key = jax.random.PRNGKey(int(sample_rng.integers(2**31)))
 
+        n_boxes = max(len(boxes), 1)
+        boxes_padded = np.zeros((n_boxes, 4), np.float32)
+        boxes_padded[: len(boxes)] = boxes
+        rollout_fn = self._get_sup_eval_rollout(image.shape)
+        ro = jax.device_get(
+            rollout_fn(
+                variables,
+                jnp.asarray(image),
+                jnp.asarray(boxes_padded),
+                jnp.array([class_id], jnp.int32),
+                jnp.asarray(np.array(env.position, np.int32)),
+                key,
+                sample_actions,
+            )
+        )
+
+        step_masks = ro["logit_masks"][0].astype(bool)  # [T-1]
+        n_steps = int(step_masks.sum())
+        taken = ro["actions"][0][:n_steps]
+        all_logits = ro["logits"][0][:n_steps]
+
+        # Host replay: optimal-action labels need the oracle's state after
+        # every step (position + visited set); cheap grid geometry.
         positions = [env.position]
         actions_taken = [Action.LEFT.value]
         true_actions = []
         pred_logits = []
         labels = [env.position in env.bbox_patches]
-
-        n_act = self.actions_info[0].nclasses
-        if sample_rng is None:
-            sample_rng = np.random.default_rng(0)
-
-        for index in range(1, max_ep_len):
-            patch = gather_patches(
-                image, np.array([positions[-1]], np.int32), cfg.patch_size
-            )
-            logits, cache = self._decode_step(
-                variables,
-                cache,
-                jnp.asarray(patch),
-                jnp.array([actions_taken[-1]], jnp.int32),
-                jnp.asarray(np.array([positions[-1]], np.int32)),
-                jnp.int32(index - 1),
-            )
-            logits = np.asarray(logits)[0]
-            if sample_actions:
-                p = np.exp(logits - logits.max())
-                p = p / p.sum()
-                action = int(sample_rng.choice(n_act, p=p))
-            else:
-                action = int(np.argmax(logits))
-
+        for t in range(n_steps):
+            action = int(taken[t])
             env.step(Action(action))
             true_actions.append(self.optimal_next_action(env).value)
-            pred_logits.append(logits)
+            pred_logits.append(all_logits[t])
             positions.append(env.position)
             actions_taken.append(action)
             labels.append(env.position in env.bbox_patches)
-
-            if action == Action.STOP.value:
-                break
 
         # Detection on the visited patches: ONE fixed-shape batched call
         # (padded to test_max_seq_len so every episode length hits the same

@@ -199,6 +199,114 @@ class Trainer:
             )
         self.test_env_ids = list(range(len(self.test_dataset)))
 
+    # --- on-device scan rollout (shared by RL training/eval and the
+    # supervised autoregressive eval) ----------------------------------------
+    def _rollout_scan(
+        self,
+        variables,
+        env,
+        key,
+        sample: bool,
+        classes=None,
+        collect: tuple = (),
+        positions=None,
+    ):
+        """One full batched rollout as a ``lax.scan``: env reset, KV-cache
+        decode, categorical/greedy action selection, masked env step. O(1)
+        transformer work per step via the KV cache (vs. the reference's
+        full-prefix re-run, reference: src/models/gpt.py:427-435; host loop
+        reference: src/reinforce.py:108-215).
+
+        Args:
+            sample: sample from the categorical (True) or argmax (False).
+            classes: [B] class-conditional token ids (None -> zeros, the RL
+                behavior, reference: src/reinforce.py:129).
+            collect: extra per-step outputs to return, subset of
+                {"logits", "actions"}.
+            positions: optional [B, 2] fixed reset positions (else random).
+        """
+        model = self.model
+        B = env.batch_size
+        k_reset, k_scan = jax.random.split(key)
+        if positions is None:
+            state, patches, _ = env.reset(key=k_reset)
+        else:
+            state, patches, _ = env.reset(positions=positions)
+        if classes is None:
+            classes = jnp.zeros((B,), jnp.int32)
+        cache = model.apply(variables, classes, method=GPT.init_cache)
+        init_positions = state.positions
+
+        def step_fn(carry, t):
+            state, cache, prev_action, patches, done, key = carry
+            logits, cache = model.apply(
+                variables,
+                cache,
+                patches[:, 0],
+                prev_action,
+                state.positions,
+                t,
+                method=GPT.decode_step,
+            )
+            logits = logits.astype(jnp.float32)
+            key, k_sample = jax.random.split(key)
+            if sample:
+                action = jax.random.categorical(k_sample, logits)
+            else:
+                action = jnp.argmax(logits, axis=-1)
+            action = action.astype(jnp.int32)
+            logp_all = jax.nn.log_softmax(logits)
+            logprob = jnp.take_along_axis(logp_all, action[:, None], axis=1)[:, 0]
+            entropy = -(jnp.exp(logp_all) * logp_all).sum(-1)
+
+            logit_mask = ~done
+            state, patches, rewards, terminated, _, _ = env.masked_step(
+                state, action, done
+            )
+            done = done | terminated
+            ys = {
+                "rewards": rewards,
+                "logprobs": logprob,
+                "entropies": entropy,
+                "logit_masks": logit_mask,
+                "alive": ~terminated,
+                "positions": state.positions,
+            }
+            if "logits" in collect:
+                ys["logits"] = logits
+            if "actions" in collect:
+                ys["actions"] = action
+            return (state, cache, action, patches, done, key), ys
+
+        carry0 = (
+            state,
+            cache,
+            jnp.zeros((B,), jnp.int32),
+            patches,
+            jnp.zeros((B,), bool),
+            k_scan,
+        )
+        (state, *_), ys = jax.lax.scan(
+            step_fn, carry0, jnp.arange(env.max_ep_len)
+        )
+
+        to_bt = lambda x: jnp.moveaxis(x, 0, 1)  # [T, B, ...] -> [B, T, ...]
+        out = {name: to_bt(value) for name, value in ys.items()}
+        logit_masks = out.pop("logit_masks").astype(jnp.float32)
+        # masks[:, 0] = True at reset, then ~terminated after each step
+        # (reference: src/reinforce.py:133-139, 172).
+        out["masks"] = jnp.concatenate(
+            [jnp.ones((B, 1), bool), out.pop("alive")], axis=1
+        )
+        out["positions"] = jnp.concatenate(
+            [init_positions[:, None], out["positions"]], axis=1
+        )  # [B, T+1, 2]
+        out["logit_masks"] = logit_masks
+        masked_rewards = out["rewards"] * logit_masks
+        out["returns"] = jnp.flip(jnp.cumsum(jnp.flip(masked_rewards, 1), 1), 1)
+        out["final_state"] = state
+        return out
+
     # --- profiling (replaces the reference's thop/tqdm-only story,
     # SURVEY.md section 5: "TPU rebuild: jax.profiler trace option") --------
     _profiling = False
