@@ -222,6 +222,20 @@ def main():
     scan_time = bench_scan_rollout(trainer, images, boxes, iters)
     steps_per_sec = batch * max_ep_len * iters / scan_time
 
+    if os.environ.get("BENCH_SKIP_BASELINE", "") == "1":
+        print(
+            json.dumps(
+                {
+                    "metric": "glimpse env steps/sec/chip (gpt-nano+yolox-nano)",
+                    "value": round(steps_per_sec, 2),
+                    "unit": f"env steps/s (batch {batch}, ep_len {max_ep_len}, "
+                    f"patch {patch})",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
+
     base_steps = min(4, max_ep_len)
     ref_time = bench_reference_style_rollout(
         trainer, model, images, boxes, base_iters, base_steps
