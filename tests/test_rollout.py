@@ -90,6 +90,65 @@ def test_termination_freezes_episode(trainer):
         np.testing.assert_array_equal(positions[t + 1], positions[t])
 
 
+def test_scan_rollout_matches_host_decode_loop(trainer):
+    """The on-device greedy scan must reproduce, step for step, a host loop
+    that uses the jitted single-token decode + numpy env stepping — catching
+    any divergence in patch gather, clamping, or cache indexing."""
+    from jolineedle_tpu.env.actions import ACTION_DELTAS_ARRAY
+    from jolineedle_tpu.env.batched_env import NeedleEnv
+    from jolineedle_tpu.env.oracle import gather_patches
+
+    rng = np.random.default_rng(3)
+    image = rng.random((64, 96, 3)).astype(np.float32)  # 2x3 grid
+    boxes = np.array([[5.0, 5.0, 30.0, 30.0]], np.float32)
+    variables = trainer.eval_variables()
+    T = trainer.max_ep_len
+
+    @jax.jit
+    def scan_rollout(variables, image, boxes, pos0):
+        env = NeedleEnv(
+            image[None], boxes[None], 32, T, 1, False,
+            terminate_on_all_found=False,
+        )
+        return trainer._rollout_scan(
+            variables,
+            env,
+            jax.random.PRNGKey(0),
+            sample=False,
+            collect=("logits", "actions"),
+            positions=pos0[None],
+        )
+
+    pos0 = np.array([0, 2], np.int32)
+    ro = jax.device_get(scan_rollout(variables, jnp.asarray(image),
+                                     jnp.asarray(boxes), jnp.asarray(pos0)))
+
+    # Host loop with the single-token decode path.
+    cache = trainer._init_cache(variables, jnp.zeros((1,), jnp.int32))
+    position = pos0.copy()
+    prev_action = np.int32(0)
+    deltas = np.asarray(ACTION_DELTAS_ARRAY)
+    for t in range(T):
+        patch = gather_patches(image, position[None], 32)
+        logits, cache = trainer._decode_step(
+            variables,
+            cache,
+            jnp.asarray(patch),
+            jnp.array([prev_action], jnp.int32),
+            jnp.asarray(position[None]),
+            jnp.int32(t),
+        )
+        logits = np.asarray(logits, np.float32)[0]
+        np.testing.assert_allclose(ro["logits"][0, t], logits, atol=1e-4)
+        action = int(np.argmax(logits))
+        assert int(ro["actions"][0, t]) == action
+        position = np.clip(position + deltas[action], [0, 0], [1, 2]).astype(
+            np.int32
+        )
+        np.testing.assert_array_equal(ro["positions"][0, t + 1], position)
+        prev_action = np.int32(action)
+
+
 def test_episode_metrics_range(trainer):
     rng = np.random.default_rng(2)
     image = rng.random((64, 96, 3)).astype(np.float32)
