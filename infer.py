@@ -13,7 +13,6 @@ it is a no-op in the reference too (declared infer.py:45-49, never used).
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import time
 from collections import defaultdict

@@ -13,7 +13,6 @@ reference is CHW). Boxes are ``[n, 4]`` float arrays (xyxy pixels).
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 

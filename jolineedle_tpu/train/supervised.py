@@ -41,7 +41,7 @@ from ..utils.geometry import (
 )
 from ..utils.metrics import average_precision_50
 from ..utils.plotting import plot_model_prediction
-from .batching import Prefetcher, build_supervised_batch, build_supervised_sample
+from .batching import Prefetcher, build_supervised_batch
 from .trainer import Trainer, TrainState
 
 

@@ -10,7 +10,6 @@ state, see train/optim.py).
 from __future__ import annotations
 
 import json
-import os
 from pathlib import Path
 from typing import Any, Optional
 
