@@ -142,11 +142,12 @@ def infer(args):
         boxes = (
             load_bboxes(target_paths[img_id])
             if has_targets
-            else np.zeros((1, 4), np.float32)
+            else np.zeros((0, 4), np.float32)
         )
-        n = max(len(boxes), 1)
-        boxes_padded = np.zeros((n, 4), np.float32)
-        boxes_padded[: len(boxes)] = boxes
+        # Static box cap: one compiled rollout regardless of box count.
+        n_cap = max(int(getattr(train_config, "max_boxes", 8)), 1)
+        boxes_padded = np.zeros((n_cap, 4), np.float32)
+        boxes_padded[: min(len(boxes), n_cap)] = boxes[:n_cap]
 
         rollout_fn = trainer._get_eval_rollout(image.shape)
         key = jax.random.PRNGKey(img_id)

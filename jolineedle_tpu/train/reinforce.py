@@ -372,9 +372,9 @@ class ReinforceTrainer(Trainer):
         cfg = self.config
         image = item["image"]
         boxes = np.asarray(item["bboxes"], np.float32).reshape(-1, 4)
-        n = max(len(boxes), 1)
-        boxes_padded = np.zeros((n, 4), np.float32)
-        boxes_padded[: len(boxes)] = boxes
+        # Static box cap: one compiled rollout regardless of box count.
+        boxes_padded = np.zeros((cfg.max_boxes, 4), np.float32)
+        boxes_padded[: min(len(boxes), cfg.max_boxes)] = boxes[: cfg.max_boxes]
 
         variables = self.eval_variables()
         rollout_fn = self._get_eval_rollout(image.shape)

@@ -218,10 +218,11 @@ class SupervisedTrainer(Trainer):
         return env.remove_stop_action(move_towards(env.position, keypoints[0]))
 
     def _get_sup_eval_rollout(self, image_shape):
-        """Jitted single-image autoregressive eval rollout (greedy or
-        sampled), cached per image shape. The whole episode runs on-device in
-        one dispatch (the reference re-runs the transformer on the full
-        prefix per step from a host loop, reference: src/supervised.py:326-333)."""
+        """Jitted BATCHED autoregressive eval rollout (greedy or sampled),
+        cached per image shape. Whole episodes for a batch of images run
+        on-device in one dispatch (the reference re-runs the transformer on
+        the full prefix per step from a host loop, reference:
+        src/supervised.py:326-333)."""
         if not hasattr(self, "_sup_eval_rollouts"):
             self._sup_eval_rollouts = {}
         if image_shape not in self._sup_eval_rollouts:
@@ -231,10 +232,10 @@ class SupervisedTrainer(Trainer):
             from ..env.batched_env import NeedleEnv
 
             @partial(jax.jit, static_argnames=("sample",))
-            def sup_rollout(variables, image, boxes, classes, pos0, key, sample):
+            def sup_rollout(variables, images, boxes, classes, pos0, key, sample):
                 env = NeedleEnv(
-                    image[None],
-                    boxes[None],
+                    images,
+                    boxes,
                     cfg.patch_size,
                     cfg.test_max_seq_len - 1,  # steps = positions - 1
                     1,
@@ -250,13 +251,50 @@ class SupervisedTrainer(Trainer):
                     sample=sample,
                     classes=classes,
                     collect=("logits", "actions"),
-                    positions=pos0[None],
+                    positions=pos0,
                 )
                 ro.pop("final_state")
                 return ro
 
             self._sup_eval_rollouts[image_shape] = sup_rollout
         return self._sup_eval_rollouts[image_shape]
+
+    def _batched_eval_rollouts(self, rows, sample_actions: bool):
+        """Run the eval rollouts for ``rows`` (dicts with image, boxes,
+        class_id, position, seed), grouped by image shape into batched
+        dispatches. Returns one fetched single-row rollout dict per row."""
+        cfg = self.config
+        variables = self.eval_variables()
+        groups = defaultdict(list)
+        for i, row in enumerate(rows):
+            groups[row["image"].shape].append(i)
+
+        results = [None] * len(rows)
+        for shape, ids in groups.items():
+            images = np.stack([rows[i]["image"] for i in ids])
+            boxes = np.zeros((len(ids), cfg.max_boxes, 4), np.float32)
+            for j, i in enumerate(ids):
+                b = np.asarray(rows[i]["boxes"], np.float32).reshape(-1, 4)
+                boxes[j, : min(len(b), cfg.max_boxes)] = b[: cfg.max_boxes]
+            classes = np.array([rows[i]["class_id"] for i in ids], np.int32)
+            pos0 = np.array([rows[i]["position"] for i in ids], np.int32)
+            key = jax.random.PRNGKey(rows[ids[0]]["seed"])
+
+            rollout_fn = self._get_sup_eval_rollout(shape)
+            ro = jax.device_get(
+                rollout_fn(
+                    variables,
+                    jnp.asarray(images),
+                    jnp.asarray(boxes),
+                    jnp.asarray(classes),
+                    jnp.asarray(pos0),
+                    key,
+                    sample_actions,
+                )
+            )
+            for j, i in enumerate(ids):
+                results[i] = jax.tree_util.tree_map(lambda x: x[j : j + 1], ro)
+        return results
 
     def test_model_on_env(
         self,
@@ -267,6 +305,7 @@ class SupervisedTrainer(Trainer):
         position: Optional[Tuple[int, int]] = None,
         env: Optional[OracleEnv] = None,
         sample_rng: Optional[np.random.Generator] = None,
+        rollout: Optional[dict] = None,
     ) -> tuple:
         """Greedy/sampled autoregressive rollout on one image — one on-device
         scan dispatch, then a host replay against the oracle for the per-step
@@ -282,25 +321,23 @@ class SupervisedTrainer(Trainer):
         env.reset(position)
 
         variables = self.eval_variables()
-        if sample_rng is None:
-            sample_rng = np.random.default_rng(0)
-        key = jax.random.PRNGKey(int(sample_rng.integers(2**31)))
-
-        n_boxes = max(len(boxes), 1)
-        boxes_padded = np.zeros((n_boxes, 4), np.float32)
-        boxes_padded[: len(boxes)] = boxes
-        rollout_fn = self._get_sup_eval_rollout(image.shape)
-        ro = jax.device_get(
-            rollout_fn(
-                variables,
-                jnp.asarray(image),
-                jnp.asarray(boxes_padded),
-                jnp.array([class_id], jnp.int32),
-                jnp.asarray(np.array(env.position, np.int32)),
-                key,
+        if rollout is None:
+            if sample_rng is None:
+                sample_rng = np.random.default_rng(0)
+            ro = self._batched_eval_rollouts(
+                [
+                    {
+                        "image": image,
+                        "boxes": boxes,
+                        "class_id": class_id,
+                        "position": env.position,
+                        "seed": int(sample_rng.integers(2**31)),
+                    }
+                ],
                 sample_actions,
-            )
-        )
+            )[0]
+        else:
+            ro = rollout
 
         step_masks = ro["logit_masks"][0].astype(bool)  # [T-1]
         n_steps = int(step_masks.sum())
@@ -447,6 +484,11 @@ class SupervisedTrainer(Trainer):
         all_metrics = defaultdict(list)
         cfg = self.config
 
+        # Pass 1 (host): resolve per-episode start positions and build rollout
+        # rows. Pass 2 (device): ONE batched scan dispatch per image shape.
+        # Pass 3 (host): per-episode oracle replay + metrics.
+        episodes = []  # (loop_id, item, env, positions)
+        rows = []
         for loop_id, env_id in enumerate(env_ids):
             seed = loop_id
             item = dataset.__getitem__(int(env_id), np.random.default_rng(seed))
@@ -469,20 +511,39 @@ class SupervisedTrainer(Trainer):
                     (0, env.patch_width - 1),
                     (env.patch_height - 1, env.patch_width - 1),
                 ]
-
-            all_samples, all_bboxes = [], []
             for i, position in enumerate(positions):
                 env.reset(position)
                 positions[i] = env.position
+                rows.append(
+                    {
+                        "image": item["image"],
+                        "boxes": boxes,
+                        "class_id": item["class_id"],
+                        "position": env.position,
+                        "seed": seed,
+                    }
+                )
+            episodes.append((loop_id, item, env, positions))
+
+        rollouts = self._batched_eval_rollouts(rows, sample_actions)
+
+        row_id = 0
+        for loop_id, item, env, positions in episodes:
+            seed = loop_id
+            all_samples, all_bboxes = [], []
+            for position in positions:
+                env.reset(position)
                 sample, metrics, bboxes = self.test_model_on_env(
                     item,
                     cfg.test_max_seq_len,
                     item["class_id"],
                     sample_actions,
-                    env.position,
+                    position,
                     env=env,
                     sample_rng=np.random.default_rng(seed),
+                    rollout=rollouts[row_id],
                 )
+                row_id += 1
                 all_samples.append(sample)
                 all_bboxes.append(bboxes)
                 for name, value in metrics.items():
