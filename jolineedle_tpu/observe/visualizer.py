@@ -78,6 +78,27 @@ class VisdomPlotter:
             except Exception:
                 self.viz = None
 
+    def add_gradient_flow(self, window: str, grads: dict):
+        """Per-layer gradient magnitude distribution (reference:
+        src/visualizer.py:72-104 — a violin plot; here min/mean/max series
+        per layer, which the reference never wires into a trainer either).
+
+        ``grads``: flat dict name -> gradient array.
+        """
+        stats = {
+            name: (
+                float(np.abs(g).min()),
+                float(np.abs(g).mean()),
+                float(np.abs(g).max()),
+            )
+            for name, g in grads.items()
+        }
+        for name, (gmin, gmean, gmax) in stats.items():
+            self.add_scalar(window, f"{name}/min", gmin)
+            self.add_scalar(window, f"{name}/mean", gmean)
+            self.add_scalar(window, f"{name}/max", gmax)
+        self.upload_lineplot(window)
+
     def add_table(self, window: str, data: dict):
         text = "<table>" + "".join(
             f"<tr><td>{k}</td><td>{v}</td></tr>" for k, v in data.items()
