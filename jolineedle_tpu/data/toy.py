@@ -21,8 +21,14 @@ def generate_toy_dataset(
     image_size: tuple = (896, 1120),
     max_boxes: int = 2,
     seed: int = 0,
+    context: bool = False,
 ) -> Path:
-    """Write images + bbox txts + train.txt/test.txt; returns the dir."""
+    """Write images + bbox txts + train.txt/test.txt; returns the dir.
+
+    ``context=True`` adds a smooth brightness gradient centered on each
+    target, giving every patch a directional cue toward the object — without
+    it, navigation beyond random search is unlearnable by construction (in
+    LARD the aerial scenery provides that context)."""
     out_dir = Path(out_dir)
     (out_dir / "images").mkdir(parents=True, exist_ok=True)
     (out_dir / "bboxes").mkdir(parents=True, exist_ok=True)
@@ -40,6 +46,21 @@ def generate_toy_dataset(
             bh = int(rng.integers(30, 120))
             x1 = int(rng.integers(0, w - bw))
             y1 = int(rng.integers(0, h - bh))
+            if context:
+                cy, cx = y1 + bh / 2, x1 + bw / 2
+                yy, xx = np.meshgrid(
+                    np.arange(h, dtype=np.float32),
+                    np.arange(w, dtype=np.float32),
+                    indexing="ij",
+                )
+                dist = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+                sigma = 0.5 * max(h, w)
+                glow = (80.0 * np.exp(-(dist**2) / (2 * sigma**2))).astype(
+                    np.uint8
+                )
+                img = np.clip(
+                    img.astype(np.int32) + glow[..., None], 0, 255
+                ).astype(np.uint8)
             img[y1 : y1 + bh, x1 : x1 + bw] = np.array(
                 [200, 200, 210], np.uint8
             ) + rng.integers(0, 40, (bh, bw, 3), dtype=np.uint8)
