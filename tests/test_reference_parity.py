@@ -12,7 +12,10 @@ import sys
 import numpy as np
 import pytest
 
-sys.path.insert(0, "/root/reference")
+# APPEND (never insert at 0): the reference root also contains main.py and
+# infer.py, which must not shadow this repo's modules for the other tests.
+if "/root/reference" not in sys.path:
+    sys.path.append("/root/reference")
 
 ref_env_mod = pytest.importorskip(
     "src.env.simple_env", reason="reference repo not importable"
