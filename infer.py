@@ -151,27 +151,19 @@ def infer(args):
 
         rollout_fn = trainer._get_eval_rollout(image.shape)
         key = jax.random.PRNGKey(img_id)
+        images_d = jnp.asarray(image)[None]
+        boxes_d = jnp.asarray(boxes_padded)[None]
         # Warm-up compile excluded from the reported latency; the reference
         # measures steady-state torch kernels (reference: infer.py:157-162).
         if img_id == 0:
-            jax.block_until_ready(
-                rollout_fn(
-                    variables,
-                    jnp.asarray(image),
-                    jnp.asarray(boxes_padded),
-                    key,
-                    sample=True,
-                )["positions"]
+            jax.device_get(
+                rollout_fn(variables, images_d, boxes_d, key, sample=True)[
+                    "positions"
+                ]
             )
         start_ts = time.perf_counter()
         ro = jax.device_get(
-            rollout_fn(
-                variables,
-                jnp.asarray(image),
-                jnp.asarray(boxes_padded),
-                key,
-                sample=True,
-            )
+            rollout_fn(variables, images_d, boxes_d, key, sample=True)
         )
         duration = time.perf_counter() - start_ts
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -307,15 +307,15 @@ class ReinforceTrainer(Trainer):
 
     # --- evaluation --------------------------------------------------------------
     def _get_eval_rollout(self, image_shape: Tuple[int, int, int]):
-        """Jitted single-image eval rollout, cached per image shape."""
+        """Jitted BATCHED eval rollout, cached per image shape."""
         if image_shape not in self._eval_rollouts:
             cfg = self.config
 
             @partial(jax.jit, static_argnames=("sample",))
-            def eval_rollout(variables, image, boxes, key, sample=False):
+            def eval_rollout(variables, images, boxes, key, sample=False):
                 env = NeedleEnv(
-                    image[None],
-                    boxes[None],
+                    images,
+                    boxes,
                     cfg.patch_size,
                     self.max_ep_len,
                     self.n_glimps_levels,
@@ -330,6 +330,41 @@ class ReinforceTrainer(Trainer):
 
             self._eval_rollouts[image_shape] = eval_rollout
         return self._eval_rollouts[image_shape]
+
+    def _batched_eval_rollouts(self, rows, sample_actions: bool):
+        """Run eval rollouts for ``rows`` (dicts with image, boxes), grouped
+        by image shape into batched dispatches; returns per-row rollouts."""
+        cfg = self.config
+        variables = self.eval_variables()
+        from collections import defaultdict as _dd
+
+        groups = _dd(list)
+        for i, row in enumerate(rows):
+            groups[row["image"].shape].append(i)
+
+        self._eval_key = jax.random.split(
+            getattr(self, "_eval_key", jax.random.PRNGKey(cfg.seed))
+        )[0]
+        results = [None] * len(rows)
+        for shape, ids in groups.items():
+            images = np.stack([rows[i]["image"] for i in ids])
+            boxes = np.zeros((len(ids), cfg.max_boxes, 4), np.float32)
+            for j, i in enumerate(ids):
+                b = np.asarray(rows[i]["boxes"], np.float32).reshape(-1, 4)
+                boxes[j, : min(len(b), cfg.max_boxes)] = b[: cfg.max_boxes]
+            rollout_fn = self._get_eval_rollout(shape)
+            ro = jax.device_get(
+                rollout_fn(
+                    variables,
+                    jnp.asarray(images),
+                    jnp.asarray(boxes),
+                    jax.random.fold_in(self._eval_key, len(ids)),
+                    sample=sample_actions,
+                )
+            )
+            for j, i in enumerate(ids):
+                results[i] = jax.tree_util.tree_map(lambda x: x[j : j + 1], ro)
+        return results
 
     def compute_rollout_metrics(self, ro: Dict[str, np.ndarray]) -> Dict[str, float]:
         """Host-side metric computation on a fetched rollout (reference:
@@ -365,31 +400,26 @@ class ReinforceTrainer(Trainer):
         return metrics
 
     def eval_on_sample(
-        self, item: dict, plot_traj: bool = False, sample_actions: bool = False
+        self,
+        item: dict,
+        plot_traj: bool = False,
+        sample_actions: bool = False,
+        rollout: Optional[dict] = None,
     ):
         """Rollout + detection metrics on one image (reference:
         src/reinforce.py:417-493)."""
         cfg = self.config
         image = item["image"]
         boxes = np.asarray(item["bboxes"], np.float32).reshape(-1, 4)
-        # Static box cap: one compiled rollout regardless of box count.
         boxes_padded = np.zeros((cfg.max_boxes, 4), np.float32)
         boxes_padded[: min(len(boxes), cfg.max_boxes)] = boxes[: cfg.max_boxes]
 
         variables = self.eval_variables()
-        rollout_fn = self._get_eval_rollout(image.shape)
-        self._eval_key = jax.random.split(
-            getattr(self, "_eval_key", jax.random.PRNGKey(cfg.seed))
-        )[0]
-        ro = jax.device_get(
-            rollout_fn(
-                variables,
-                jnp.asarray(image),
-                jnp.asarray(boxes_padded),
-                self._eval_key,
-                sample=sample_actions,
-            )
-        )
+        if rollout is None:
+            rollout = self._batched_eval_rollouts(
+                [{"image": image, "boxes": boxes}], sample_actions
+            )[0]
+        ro = rollout
         metrics = self.compute_rollout_metrics(ro)
 
         positions = ro["positions"][0]  # [T+1, 2]
@@ -520,13 +550,20 @@ class ReinforceTrainer(Trainer):
         translations, rotations = dataset.translations, dataset.rotations
         dataset.translations = dataset.rotations = False
         try:
-            for loop_id, env_id in enumerate(env_ids):
-                item = dataset.__getitem__(
-                    int(env_id), np.random.default_rng(loop_id)
-                )
+            # Load all eval items, run the rollouts as batched per-shape
+            # dispatches, then compute per-image metrics on host.
+            items = [
+                dataset.__getitem__(int(env_id), np.random.default_rng(loop_id))
+                for loop_id, env_id in enumerate(env_ids)
+            ]
+            rollouts = self._batched_eval_rollouts(
+                [{"image": it["image"], "boxes": it["bboxes"]} for it in items],
+                sample_actions,
+            )
+            for loop_id, item in enumerate(items):
                 plot_traj = loop_id in visual_ids
                 metrics, plot_image = self.eval_on_sample(
-                    item, plot_traj, sample_actions
+                    item, plot_traj, sample_actions, rollout=rollouts[loop_id]
                 )
                 if plot_traj:
                     plot_images["model_images"].append(plot_image)

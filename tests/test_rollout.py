@@ -37,8 +37,8 @@ def _rollout(trainer, image, boxes, key_seed=0):
     return jax.device_get(
         fn(
             trainer.eval_variables(),
-            jnp.asarray(image),
-            jnp.asarray(boxes),
+            jnp.asarray(image)[None],
+            jnp.asarray(boxes)[None],
             jax.random.PRNGKey(key_seed),
             sample=True,
         )
