@@ -470,18 +470,33 @@ class ReinforceTrainer(Trainer):
                 metrics[name] = value
 
             # Full-image detector metrics on all positive patches (reference:
-            # src/reinforce.py:469-479).
-            env = NeedleEnv(
-                jnp.asarray(image)[None],
-                jnp.asarray(boxes_padded)[None],
-                cfg.patch_size,
-                self.max_ep_len,
-                1,
-                self.stop_enabled,
-            )
-            det_key = jax.random.PRNGKey(0)
+            # src/reinforce.py:469-479). Jitted and cached per image shape —
+            # building the env eagerly would dispatch per-op on the device.
+            if not hasattr(self, "_det_batch_fns"):
+                self._det_batch_fns = {}
+            if image.shape not in self._det_batch_fns:
+
+                @jax.jit
+                def det_batch_fn(images, boxes, key):
+                    env = NeedleEnv(
+                        images,
+                        boxes,
+                        cfg.patch_size,
+                        self.max_ep_len,
+                        1,
+                        self.stop_enabled,
+                    )
+                    return env.get_detection_batch(
+                        key, cfg.max_det_patches, sample_neg=0
+                    )
+
+                self._det_batch_fns[image.shape] = det_batch_fn
             det_patches, det_targets, det_valid = jax.device_get(
-                env.get_detection_batch(det_key, cfg.max_det_patches, sample_neg=0)
+                self._det_batch_fns[image.shape](
+                    jnp.asarray(image)[None],
+                    jnp.asarray(boxes_padded)[None],
+                    jax.random.PRNGKey(0),
+                )
             )
             k_valid = det_valid[0].astype(bool)
             if k_valid.any():
