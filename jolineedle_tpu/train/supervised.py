@@ -431,7 +431,11 @@ class SupervisedTrainer(Trainer):
     def _per_patch_map(self, env, samples, bboxes) -> dict:
         """mAP over visited patches, multi-start predictions NMS-deduped;
         missing bbox patches counted as false negatives (reference:
-        src/supervised.py:485-567)."""
+        src/supervised.py:485-567).
+
+        Intentional fix vs the reference: it passes the prediction row's LAST
+        column (the class id, always 0 here) as the NMS score
+        (reference: src/supervised.py:552); we use obj_conf * cls_conf."""
         visited = {tuple(p) for s in samples for p in s["positions"]}
         predicted: Dict[tuple, list] = {}
         for sample, bbs in zip(samples, bboxes):
