@@ -32,8 +32,7 @@ import numpy as np
 
 import jax
 
-if os.environ.get("JAX_PLATFORMS") and not jax.config.jax_platforms:
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+import jolineedle_tpu  # noqa: F401  (honor JAX_PLATFORMS + compile cache)
 
 import jax.numpy as jnp
 

@@ -23,6 +23,31 @@ __version__ = "0.1.0"
 import os as _os
 
 
+def honor_env_platforms() -> None:
+    """Make ``JAX_PLATFORMS=cpu`` actually mean cpu.
+
+    The axon TPU plugin's sitecustomize presets ``jax_platforms`` to
+    ``"axon,cpu"`` at interpreter startup, silently overriding the user's
+    environment. Re-apply the environment value — but never step on a
+    platform selected programmatically (e.g. the test conftest pins cpu via
+    ``jax.config`` before importing this package). Must run before JAX
+    backends initialize.
+    """
+    import jax
+
+    env = _os.environ.get("JAX_PLATFORMS")
+    cfg = jax.config.jax_platforms or ""
+    plugin_controlled = not cfg or "axon" in cfg.split(",")
+    if env and cfg.split(",")[0] != env and plugin_controlled:
+        try:
+            jax.config.update("jax_platforms", env)
+        except Exception:
+            pass
+
+
+honor_env_platforms()
+
+
 def enable_compilation_cache(path: str = "") -> None:
     """Turn on JAX's persistent compilation cache.
 

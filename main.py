@@ -15,12 +15,10 @@ import random
 import jax
 import numpy as np
 
-# The axon TPU plugin overrides JAX_PLATFORMS at registration time; honor the
-# user's environment explicitly (JAX_PLATFORMS=cpu must mean cpu) — but never
-# clobber a platform already selected programmatically (the test conftest
-# pins cpu via jax.config before importing this module).
-if os.environ.get("JAX_PLATFORMS") and not jax.config.jax_platforms:
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+# The axon TPU plugin presets jax_platforms at interpreter startup,
+# overriding the user's environment; importing the package re-applies
+# JAX_PLATFORMS (without stepping on a programmatically pinned platform).
+import jolineedle_tpu  # noqa: F401  (honor_env_platforms + compile cache)
 
 # Multi-host (DCN) training: one process per host joins the cluster and the
 # data mesh spans all hosts' devices — this one call replaces the reference's
