@@ -331,40 +331,16 @@ class ReinforceTrainer(Trainer):
             self._eval_rollouts[image_shape] = eval_rollout
         return self._eval_rollouts[image_shape]
 
-    def _batched_eval_rollouts(self, rows, sample_actions: bool):
-        """Run eval rollouts for ``rows`` (dicts with image, boxes), grouped
-        by image shape into batched dispatches; returns per-row rollouts."""
-        cfg = self.config
-        variables = self.eval_variables()
-        from collections import defaultdict as _dd
-
-        groups = _dd(list)
-        for i, row in enumerate(rows):
-            groups[row["image"].shape].append(i)
-
-        self._eval_key = jax.random.split(
-            getattr(self, "_eval_key", jax.random.PRNGKey(cfg.seed))
-        )[0]
-        results = [None] * len(rows)
-        for shape, ids in groups.items():
-            images = np.stack([rows[i]["image"] for i in ids])
-            boxes = np.zeros((len(ids), cfg.max_boxes, 4), np.float32)
-            for j, i in enumerate(ids):
-                b = np.asarray(rows[i]["boxes"], np.float32).reshape(-1, 4)
-                boxes[j, : min(len(b), cfg.max_boxes)] = b[: cfg.max_boxes]
-            rollout_fn = self._get_eval_rollout(shape)
-            ro = jax.device_get(
-                rollout_fn(
-                    variables,
-                    jnp.asarray(images),
-                    jnp.asarray(boxes),
-                    jax.random.fold_in(self._eval_key, len(ids)),
-                    sample=sample_actions,
-                )
-            )
-            for j, i in enumerate(ids):
-                results[i] = jax.tree_util.tree_map(lambda x: x[j : j + 1], ro)
-        return results
+    def _dispatch_eval_rollout(self, shape, images, boxes, rows, key, sample):
+        """Batched-eval hook (the group/chunk/pad skeleton lives in the
+        Trainer base)."""
+        return self._get_eval_rollout(shape)(
+            self.eval_variables(),
+            jnp.asarray(images),
+            jnp.asarray(boxes),
+            key,
+            sample=sample,
+        )
 
     def compute_rollout_metrics(self, ro: Dict[str, np.ndarray]) -> Dict[str, float]:
         """Host-side metric computation on a fetched rollout (reference:

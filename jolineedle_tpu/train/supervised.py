@@ -27,6 +27,7 @@ import numpy as np
 import optax
 
 from ..env import Action
+from ..env.batched_env import NeedleEnv
 from ..env.oracle import OracleEnv, gather_patches, move_towards
 from ..models.gpt import GPT
 from ..ops.augment import detection_augment
@@ -227,9 +228,6 @@ class SupervisedTrainer(Trainer):
             self._sup_eval_rollouts = {}
         if image_shape not in self._sup_eval_rollouts:
             cfg = self.config
-            from functools import partial
-
-            from ..env.batched_env import NeedleEnv
 
             @partial(jax.jit, static_argnames=("sample",))
             def sup_rollout(variables, images, boxes, classes, pos0, key, sample):
@@ -259,42 +257,19 @@ class SupervisedTrainer(Trainer):
             self._sup_eval_rollouts[image_shape] = sup_rollout
         return self._sup_eval_rollouts[image_shape]
 
-    def _batched_eval_rollouts(self, rows, sample_actions: bool):
-        """Run the eval rollouts for ``rows`` (dicts with image, boxes,
-        class_id, position, seed), grouped by image shape into batched
-        dispatches. Returns one fetched single-row rollout dict per row."""
-        cfg = self.config
-        variables = self.eval_variables()
-        groups = defaultdict(list)
-        for i, row in enumerate(rows):
-            groups[row["image"].shape].append(i)
-
-        results = [None] * len(rows)
-        for shape, ids in groups.items():
-            images = np.stack([rows[i]["image"] for i in ids])
-            boxes = np.zeros((len(ids), cfg.max_boxes, 4), np.float32)
-            for j, i in enumerate(ids):
-                b = np.asarray(rows[i]["boxes"], np.float32).reshape(-1, 4)
-                boxes[j, : min(len(b), cfg.max_boxes)] = b[: cfg.max_boxes]
-            classes = np.array([rows[i]["class_id"] for i in ids], np.int32)
-            pos0 = np.array([rows[i]["position"] for i in ids], np.int32)
-            key = jax.random.PRNGKey(rows[ids[0]]["seed"])
-
-            rollout_fn = self._get_sup_eval_rollout(shape)
-            ro = jax.device_get(
-                rollout_fn(
-                    variables,
-                    jnp.asarray(images),
-                    jnp.asarray(boxes),
-                    jnp.asarray(classes),
-                    jnp.asarray(pos0),
-                    key,
-                    sample_actions,
-                )
-            )
-            for j, i in enumerate(ids):
-                results[i] = jax.tree_util.tree_map(lambda x: x[j : j + 1], ro)
-        return results
+    def _dispatch_eval_rollout(self, shape, images, boxes, rows, key, sample):
+        """Batched-eval hook: rows carry class_id/position/seed extras."""
+        classes = np.array([r["class_id"] for r in rows], np.int32)
+        pos0 = np.array([r["position"] for r in rows], np.int32)
+        return self._get_sup_eval_rollout(shape)(
+            self.eval_variables(),
+            jnp.asarray(images),
+            jnp.asarray(boxes),
+            jnp.asarray(classes),
+            jnp.asarray(pos0),
+            key,
+            sample,
+        )
 
     def test_model_on_env(
         self,

@@ -198,6 +198,82 @@ class Trainer:
             )
         self.test_env_ids = list(range(len(self.test_dataset)))
 
+    # --- batched eval dispatch (shared by both trainers' eval paths) --------
+    #: Upper bound on rollout rows per device dispatch: keeps eval memory
+    #: independent of test-set size (final validation evals the WHOLE set).
+    EVAL_CHUNK = 32
+
+    def _batched_eval_rollouts(self, rows, sample_actions: bool):
+        """Run eval rollouts for ``rows`` (dicts with at least image, boxes),
+        grouped by image shape and chunked to ``EVAL_CHUNK`` rows per device
+        dispatch. The last chunk of a multi-chunk group is padded by
+        repeating its final row (and the padding results dropped) so each
+        shape compiles at most two batch sizes. Returns one fetched
+        single-row rollout dict per row.
+
+        Subclasses provide :meth:`_dispatch_eval_rollout`.
+        """
+        from collections import defaultdict
+
+        cfg = self.config
+        groups = defaultdict(list)
+        for i, row in enumerate(rows):
+            groups[row["image"].shape].append(i)
+
+        base_key = jax.random.PRNGKey(cfg.seed + 977)
+        results = [None] * len(rows)
+        for shape, ids in groups.items():
+            chunk_size = min(len(ids), self.EVAL_CHUNK)
+            for start in range(0, len(ids), chunk_size):
+                chunk = ids[start : start + chunk_size]
+                n_real = len(chunk)
+                chunk = chunk + [chunk[-1]] * (chunk_size - n_real)
+
+                images = np.stack([rows[i]["image"] for i in chunk])
+                boxes = np.zeros((len(chunk), cfg.max_boxes, 4), np.float32)
+                for j, i in enumerate(chunk):
+                    b = np.asarray(rows[i]["boxes"], np.float32).reshape(-1, 4)
+                    if len(b) > cfg.max_boxes and not getattr(
+                        self, "_warned_box_cap", False
+                    ):
+                        print(
+                            f"WARNING: an eval image has {len(b)} ground-truth"
+                            f" boxes; only the first {cfg.max_boxes} are used"
+                            " (--max-boxes). Metrics exclude the rest."
+                        )
+                        self._warned_box_cap = True
+                    boxes[j, : min(len(b), cfg.max_boxes)] = b[: cfg.max_boxes]
+
+                # Unique key per dispatch; mix in the first row's seed so
+                # per-episode seeding stays meaningful.
+                self._eval_dispatch_count = (
+                    getattr(self, "_eval_dispatch_count", 0) + 1
+                )
+                key = jax.random.fold_in(base_key, self._eval_dispatch_count)
+                key = jax.random.fold_in(
+                    key, int(rows[chunk[0]].get("seed", 0))
+                )
+
+                ro = self._dispatch_eval_rollout(
+                    shape,
+                    images,
+                    boxes,
+                    [rows[i] for i in chunk],
+                    key,
+                    sample_actions,
+                )
+                ro = jax.device_get(ro)
+                for j, i in enumerate(chunk[:n_real]):
+                    results[i] = jax.tree_util.tree_map(
+                        lambda x: x[j : j + 1], ro
+                    )
+        return results
+
+    def _dispatch_eval_rollout(
+        self, shape, images, boxes, rows, key, sample_actions
+    ):
+        raise NotImplementedError
+
     # --- on-device scan rollout (shared by RL training/eval and the
     # supervised autoregressive eval) ----------------------------------------
     def _rollout_scan(
