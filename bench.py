@@ -46,7 +46,10 @@ def build(small: bool):
     patch = 64 if small else 448
     grid = 2 if small else 6  # LARD images are ~2448x2648 -> 6x6 448px grid
     max_ep_len = int(os.environ.get("BENCH_STEPS", 4 if small else 20))
-    batch = int(os.environ.get("BENCH_BATCH", 2 if small else 16))
+    # Batch 64 ≈ the single-chip throughput knee (measured 2026-08-16:
+    # 1841 steps/s @16, 2912 @32, 3113 @64); the rollout is utilization-
+    # bound below that — nano-scale depthwise convs need the extra rows.
+    batch = int(os.environ.get("BENCH_BATCH", 2 if small else 64))
 
     cli = [
         "--training-mode", "reinforce",
@@ -213,7 +216,10 @@ def bench_reference_style_rollout(
 
 def main():
     small = os.environ.get("BENCH_SMALL", "") == "1"
-    iters = int(os.environ.get("BENCH_ITERS", 2 if small else 50))
+    # 100 iters ≈ 20 s of measurement — long enough to average over the
+    # tunneled-TPU runtime's throughput jitter (observed up to 4x across
+    # minutes-apart runs of the identical program).
+    iters = int(os.environ.get("BENCH_ITERS", 2 if small else 100))
     base_iters = max(1, min(2, iters // 5))
 
     trainer, model, images, boxes, batch, max_ep_len, patch = build(small)
