@@ -46,10 +46,11 @@ def build(small: bool):
     patch = 64 if small else 448
     grid = 2 if small else 6  # LARD images are ~2448x2648 -> 6x6 448px grid
     max_ep_len = int(os.environ.get("BENCH_STEPS", 4 if small else 20))
-    # Batch 64 ≈ the single-chip throughput knee (measured 2026-08-16:
-    # 1841 steps/s @16, 2912 @32, 3113 @64); the rollout is utilization-
-    # bound below that — nano-scale depthwise convs need the extra rows.
-    batch = int(os.environ.get("BENCH_BATCH", 2 if small else 64))
+    # Batch 128 ≈ the single-chip throughput knee (measured 2026-08-16 with
+    # uint8 image storage: 6.4k steps/s @64, 14.9k @128 twice, 11.5k @256);
+    # the rollout is utilization-bound below that — nano-scale depthwise
+    # convs need the extra rows to fill the chip.
+    batch = int(os.environ.get("BENCH_BATCH", 2 if small else 128))
 
     cli = [
         "--training-mode", "reinforce",
@@ -78,7 +79,10 @@ def build(small: bool):
 
     rng = np.random.default_rng(0)
     H = W = grid * patch
-    images = rng.random((batch, H, W, 3), np.float32)
+    # uint8, like the real data path: the env stores images as uint8 in HBM
+    # and normalizes patches at gather time (train/reinforce.py ships
+    # training batches the same way).
+    images = rng.integers(0, 256, (batch, H, W, 3), dtype=np.uint8)
     # A couple of small boxes per image (runway-like targets).
     boxes = np.zeros((batch, 4, 4), np.float32)
     for i in range(batch):
@@ -142,6 +146,10 @@ def bench_reference_style_rollout(
                 for y, x in positions
             ]
         )
+
+    # The reference normalizes once at image load (reference: infer.py:137).
+    if images.dtype == np.uint8:
+        images = images.astype(np.float32) / 255.0
 
     variables = trainer.eval_variables()
     cfg = trainer.config

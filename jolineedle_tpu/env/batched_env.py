@@ -63,7 +63,12 @@ class NeedleEnv:
     """Batched needle environment over a batch of same-shape images.
 
     Args:
-        images: ``[B, H, W, C]`` float images (values in [0, 1]).
+        images: ``[B, H, W, C]`` float images (values in [0, 1]) or uint8
+            images (values in [0, 255]). uint8 inputs stay uint8 in HBM —
+            4x less memory and gather bandwidth than float32 for the
+            largest resident buffer — and patches are normalized to
+            float32 in [0, 1] at gather time (requires
+            ``n_glimps_levels == 1``; the pyramid resize needs floats).
         bboxes: ``[B, N, 4]`` padded pixel-space xyxy boxes (inclusive
             bottom-right) plus ``box_valid`` ``[B, N]``; if ``box_valid`` is
             None, boxes with positive extent are considered valid.
@@ -109,6 +114,10 @@ class NeedleEnv:
             self.batch_size, self.height, self.width, self.n_channels = images.shape
             assert self.height % self.patch_size == 0
             assert self.width % self.patch_size == 0
+            if images.dtype == jnp.uint8:
+                assert self.n_glimps_levels == 1, (
+                    "uint8 image storage requires n_glimps_levels == 1"
+                )
             bboxes = jnp.asarray(bboxes)
             if box_valid is None:
                 box_valid = (bboxes[..., 2] > bboxes[..., 0]) & (
@@ -304,7 +313,7 @@ class NeedleEnv:
                 (self.n_glimps_levels, p, p, self.n_channels),
             )
 
-        return jax.vmap(gather_one)(self.images, state.positions)
+        return self._normalize(jax.vmap(gather_one)(self.images, state.positions))
 
     def gather_patches_at(self, coords: jax.Array) -> jax.Array:
         """Gather level-0 patches at arbitrary [B, K, 2] patch coords."""
@@ -317,7 +326,15 @@ class NeedleEnv:
                 (1, p, p, self.n_channels),
             )[0]
 
-        return jax.vmap(jax.vmap(gather_one, in_axes=(None, 0)))(self.images, coords)
+        return self._normalize(
+            jax.vmap(jax.vmap(gather_one, in_axes=(None, 0)))(self.images, coords)
+        )
+
+    def _normalize(self, patches: jax.Array) -> jax.Array:
+        """uint8-stored pixels -> float32 in [0, 1]; float passes through."""
+        if patches.dtype == jnp.uint8:
+            return patches.astype(jnp.float32) / 255.0
+        return patches
 
     # --- metrics ----------------------------------------------------------
     def prop_patches_found(self, state: EnvState) -> jax.Array:

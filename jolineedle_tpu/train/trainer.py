@@ -229,7 +229,17 @@ class Trainer:
                 n_real = len(chunk)
                 chunk = chunk + [chunk[-1]] * (chunk_size - n_real)
 
-                images = np.stack([rows[i]["image"] for i in chunk])
+                # Device-side rollouts read uint8 images (the env normalizes
+                # patches at gather time): 4x less HBM than float32 for
+                # full-size eval images batched EVAL_CHUNK at a time.
+                images = np.stack(
+                    [
+                        np.clip(
+                            np.round(rows[i]["image"] * 255.0), 0, 255
+                        ).astype(np.uint8)
+                        for i in chunk
+                    ]
+                )
                 boxes = np.zeros((len(chunk), cfg.max_boxes, 4), np.float32)
                 for j, i in enumerate(chunk):
                     b = np.asarray(rows[i]["boxes"], np.float32).reshape(-1, 4)

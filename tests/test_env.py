@@ -89,3 +89,61 @@ def test_masked_step_freezes():
         np.asarray(new_state.positions), np.asarray(state.positions)
     )
     assert np.allclose(np.asarray(rewards), 0.0)
+
+
+def test_uint8_image_storage_matches_float():
+    """uint8 images stay uint8 in HBM; patches normalize to float32 [0, 1]
+    at gather time, bit-identical to the float32 path."""
+    rng = np.random.default_rng(0)
+    img_u8 = rng.integers(0, 256, (2, 128, 192, 3), dtype=np.uint8)
+    img_f32 = img_u8.astype(np.float32) / 255.0
+    boxes = np.array(
+        [[[10, 10, 50, 40]], [[70, 20, 120, 60]]], np.float32
+    )
+
+    def build(images):
+        return NeedleEnv(
+            images=jnp.asarray(images),
+            bboxes=jnp.asarray(boxes),
+            patch_size=64,
+            max_ep_len=4,
+            n_glimps_levels=1,
+            stop_enabled=False,
+        )
+
+    env_u8, env_f = build(img_u8), build(img_f32)
+    assert env_u8.images.dtype == jnp.uint8  # stored without upcast
+
+    pos = jnp.array([[0, 1], [1, 2]])
+    s8, p8, _ = env_u8.reset(positions=pos)
+    sf, pf, _ = env_f.reset(positions=pos)
+    assert p8.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(p8), np.asarray(pf))
+
+    s8, p8, r8, t8, *_ = env_u8.step(s8, jnp.array([2, 2]))
+    sf, pf, rf, tf, *_ = env_f.step(sf, jnp.array([2, 2]))
+    np.testing.assert_array_equal(np.asarray(p8), np.asarray(pf))
+    np.testing.assert_array_equal(np.asarray(r8), np.asarray(rf))
+
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    d8 = env_u8.get_detection_batch(key, max_patches=3, sample_neg=1)
+    df = env_f.get_detection_batch(key, max_patches=3, sample_neg=1)
+    np.testing.assert_array_equal(np.asarray(d8[0]), np.asarray(df[0]))
+    np.testing.assert_array_equal(np.asarray(d8[1]), np.asarray(df[1]))
+
+
+def test_uint8_rejects_glimpse_pyramid():
+    import pytest
+
+    img_u8 = np.zeros((1, 128, 128, 3), np.uint8)
+    with pytest.raises(AssertionError):
+        NeedleEnv(
+            images=jnp.asarray(img_u8),
+            bboxes=jnp.zeros((1, 1, 4), np.float32),
+            patch_size=64,
+            max_ep_len=4,
+            n_glimps_levels=2,
+            stop_enabled=False,
+        )

@@ -33,8 +33,10 @@ class _FakeTrainer:
 
 
 def _row(value, shape=(8, 8, 3), boxes=((0, 0, 4, 4),)):
+    # Images are float in [0, 1]; the dispatcher ships them as uint8
+    # (value/255 -> uint8 value), so the fake's "tag" reads back `value`.
     return {
-        "image": np.full(shape, float(value), np.float32),
+        "image": np.full(shape, float(value) / 255.0, np.float32),
         "boxes": np.asarray(boxes, np.float32),
     }
 
@@ -59,7 +61,7 @@ def test_groups_by_shape_and_chunks_with_padding():
     # Every row gets its own single-row slice, in input order.
     for row, res in zip(rows, results):
         assert res["tag"].shape == (1,)
-        assert float(res["tag"][0]) == float(row["image"][0, 0, 0])
+        assert float(res["tag"][0]) == round(float(row["image"][0, 0, 0]) * 255)
 
 
 def test_box_padding_and_cap():
