@@ -379,9 +379,13 @@ class NeedleEnv:
         flat_pos = pos_mask.reshape(self.batch_size, nv * nh)
 
         # Score: positives first, then `sample_neg` random negatives.
+        # Negatives are ranked among THEMSELVES (positives pushed to +inf so
+        # they occupy the highest ranks): negative k-th by noise has
+        # neg_rank == k, making `neg_rank < sample_neg` select exactly
+        # sample_neg random negatives whenever that many exist.
         noise = jax.random.uniform(key, flat_pos.shape)
         neg_rank = jnp.argsort(
-            jnp.argsort(jnp.where(flat_pos, -jnp.inf, noise), axis=-1), axis=-1
+            jnp.argsort(jnp.where(flat_pos, jnp.inf, noise), axis=-1), axis=-1
         )
         score = jnp.where(
             flat_pos, 2.0, jnp.where(neg_rank < sample_neg, 1.0, 0.0)

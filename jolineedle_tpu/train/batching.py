@@ -80,7 +80,9 @@ def build_supervised_batch(
 ) -> Dict[str, np.ndarray]:
     samples = []
     for idx in indices:
-        item = dataset[int(idx)]
+        # Forward the per-batch rng: class choice and rotate/translate augs
+        # must not touch the dataset's shared (thread-unsafe) generator.
+        item = dataset.__getitem__(int(idx), rng)
         samples.append(
             build_supervised_sample(
                 item,
@@ -185,8 +187,13 @@ class Prefetcher:
 
     def close(self):
         self._stop.set()
+        # Drain so workers blocked on a full queue observe the stop flag,
+        # then join: no worker may still be inside make_batch (touching the
+        # dataset) when the caller proceeds to eval/validation.
         try:
             while True:
                 self._queue.get_nowait()
         except queue.Empty:
             pass
+        for t in self._threads:
+            t.join(timeout=30.0)

@@ -33,6 +33,7 @@ Semantics parity:
 
 from __future__ import annotations
 
+import copy
 from collections import defaultdict
 from functools import partial
 from typing import Dict, Optional, Tuple
@@ -257,7 +258,9 @@ class ReinforceTrainer(Trainer):
         key = jax.random.PRNGKey(cfg.seed)
 
         if self.logger is not None:
-            self.logger.log_start(jax.device_get(self.state.params))
+            # Shapes only — no device->host fetch of the full param tree
+            # (minutes over the tunneled-TPU link).
+            self.logger.log_start(self.state.params)
 
         index_pool = []
         batch_counter = [0]
@@ -295,6 +298,7 @@ class ReinforceTrainer(Trainer):
                     jnp.float32(self.last_return_std),
                 )
                 self.last_train_metrics = metrics
+                self.throttle_dispatch(self.iter_num, metrics)
                 if cfg.reward_norm:
                     self._window_stats.append(
                         (metrics["ret_sum"], metrics["ret_sumsq"], metrics["ret_count"])
@@ -483,9 +487,19 @@ class ReinforceTrainer(Trainer):
             k_valid = det_valid[0].astype(bool)
             if k_valid.any():
                 # Fixed-shape call over the padded patch set; padding masked.
-                det_head = jax.device_get(
-                    self._yolox_predict(variables, jnp.asarray(det_patches[0]))
+                # Losses consume the on-device head outputs; the host fetch
+                # happens once (tunneled-TPU transfers are the eval cost).
+                det_head_dev = self._yolox_predict(
+                    variables, jnp.asarray(det_patches[0])
                 )
+                ylo = jax.device_get(
+                    self._yolox_losses(
+                        det_head_dev,
+                        jnp.asarray(det_targets[0]),
+                        jnp.asarray(k_valid),
+                    )
+                )
+                det_head = jax.device_get(det_head_dev)
                 det_preds = postprocess(
                     det_head["boxes"],
                     jax.nn.sigmoid(det_head["obj_logits"]),
@@ -506,13 +520,6 @@ class ReinforceTrainer(Trainer):
                     det_preds, det_gts
                 ).items():
                     metrics["yolo_" + name] = value
-                ylo = jax.device_get(
-                    self._yolox_losses(
-                        jax.tree_util.tree_map(jnp.asarray, det_head),
-                        jnp.asarray(det_targets[0]),
-                        jnp.asarray(k_valid),
-                    )
-                )
                 for name, value in ylo.items():
                     metrics["yolo_" + name] = float(value)
 
@@ -534,7 +541,11 @@ class ReinforceTrainer(Trainer):
 
     def test(self, sample_actions: bool = False):
         """Test cycle (reference: src/reinforce.py:364-415)."""
-        dataset = self.test_dataset
+        # Eval on an un-augmented VIEW (shallow copy, not flag mutation): the
+        # prefetcher's workers keep building training batches from the
+        # original dataset during the eval.
+        dataset = copy.copy(self.test_dataset)
+        dataset.translations = dataset.rotations = False
         env_ids = self.test_env_ids
         all_metrics = defaultdict(list)
         plot_images = {"model_images": []}
@@ -544,47 +555,41 @@ class ReinforceTrainer(Trainer):
                 np.arange(len(env_ids)), size=min(6, len(env_ids)), replace=False
             ).tolist()
         )
-        translations, rotations = dataset.translations, dataset.rotations
-        dataset.translations = dataset.rotations = False
-        try:
-            # Load all eval items, run the rollouts as batched per-shape
-            # dispatches, then compute per-image metrics on host.
-            items = [
-                dataset.__getitem__(int(env_id), np.random.default_rng(loop_id))
-                for loop_id, env_id in enumerate(env_ids)
-            ]
-            rollouts = self._batched_eval_rollouts(
-                [{"image": it["image"], "boxes": it["bboxes"]} for it in items],
-                sample_actions,
+        # Load all eval items, run the rollouts as batched per-shape
+        # dispatches, then compute per-image metrics on host.
+        items = [
+            dataset.__getitem__(int(env_id), np.random.default_rng(loop_id))
+            for loop_id, env_id in enumerate(env_ids)
+        ]
+        rollouts = self._batched_eval_rollouts(
+            [{"image": it["image"], "boxes": it["bboxes"]} for it in items],
+            sample_actions,
+        )
+        for loop_id, item in enumerate(items):
+            plot_traj = loop_id in visual_ids
+            metrics, plot_image = self.eval_on_sample(
+                item, plot_traj, sample_actions, rollout=rollouts[loop_id]
             )
-            for loop_id, item in enumerate(items):
-                plot_traj = loop_id in visual_ids
-                metrics, plot_image = self.eval_on_sample(
-                    item, plot_traj, sample_actions, rollout=rollouts[loop_id]
-                )
-                if plot_traj:
-                    plot_images["model_images"].append(plot_image)
-                for name, value in metrics.items():
-                    all_metrics[name].append(value)
+            if plot_traj:
+                plot_images["model_images"].append(plot_image)
+            for name, value in metrics.items():
+                all_metrics[name].append(value)
 
-            if self.config.failure_select_rate > 0:
-                worst_count = int(
-                    self.config.failure_select_rate * len(dataset)
-                )
-                if worst_count > 0 and all_metrics[self.best_metric_name]:
-                    arr = np.array(all_metrics[self.best_metric_name])
-                    worst_ids = np.argsort(arr)[:worst_count]
-                    plot_images["worst_images"] = []
-                    for worst_id in worst_ids:
-                        item = dataset.__getitem__(
-                            int(np.asarray(env_ids)[worst_id]),
-                            np.random.default_rng(int(worst_id)),
-                        )
-                        _, plot_image = self.eval_on_sample(item, True)
-                        plot_images["worst_images"].append(plot_image)
-        finally:
-            dataset.translations = translations
-            dataset.rotations = rotations
+        if self.config.failure_select_rate > 0:
+            worst_count = int(
+                self.config.failure_select_rate * len(dataset)
+            )
+            if worst_count > 0 and all_metrics[self.best_metric_name]:
+                arr = np.array(all_metrics[self.best_metric_name])
+                worst_ids = np.argsort(arr)[:worst_count]
+                plot_images["worst_images"] = []
+                for worst_id in worst_ids:
+                    item = dataset.__getitem__(
+                        int(np.asarray(env_ids)[worst_id]),
+                        np.random.default_rng(int(worst_id)),
+                    )
+                    _, plot_image = self.eval_on_sample(item, True)
+                    plot_images["worst_images"].append(plot_image)
 
         self.last_test_metrics = all_metrics
         self.best_metric_history.append(

@@ -17,6 +17,7 @@ src/supervised.py:41-911):
 
 from __future__ import annotations
 
+import copy
 from collections import defaultdict
 from functools import partial
 from typing import Dict, List, Optional, Tuple
@@ -158,7 +159,9 @@ class SupervisedTrainer(Trainer):
         key = jax.random.PRNGKey(cfg.seed)
 
         if self.logger is not None:
-            self.logger.log_start(jax.device_get(self.state.params))
+            # Shapes only — no device->host fetch of the full param tree
+            # (minutes over the tunneled-TPU link).
+            self.logger.log_start(self.state.params)
 
         index_pool: List[int] = []
         batch_counter = [0]
@@ -198,6 +201,7 @@ class SupervisedTrainer(Trainer):
                     self.state, batch, step_key
                 )
                 self.last_train_metrics = metrics
+                self.throttle_dispatch(self.iter_num, metrics)
 
                 if self.iter_num % cfg.test_every == 0:
                     self.test()
@@ -322,7 +326,6 @@ class SupervisedTrainer(Trainer):
         # Host replay: optimal-action labels need the oracle's state after
         # every step (position + visited set); cheap grid geometry.
         positions = [env.position]
-        actions_taken = [Action.LEFT.value]
         true_actions = []
         pred_logits = []
         labels = [env.position in env.bbox_patches]
@@ -332,7 +335,6 @@ class SupervisedTrainer(Trainer):
             true_actions.append(self.optimal_next_action(env).value)
             pred_logits.append(all_logits[t])
             positions.append(env.position)
-            actions_taken.append(action)
             labels.append(env.position in env.bbox_patches)
 
         # Detection on the visited patches: ONE fixed-shape batched call
@@ -353,9 +355,17 @@ class SupervisedTrainer(Trainer):
             k = min(len(local), cfg.max_boxes)
             local_bboxes[i, :k] = local[:k]
 
-        head_out = jax.device_get(
-            self._yolox_predict(variables, jnp.asarray(patches_padded))
+        # Losses run on the device outputs directly; ONE host fetch of the
+        # head tensors (no host->device re-upload on the tunneled TPU link).
+        head_dev = self._yolox_predict(variables, jnp.asarray(patches_padded))
+        yolo_loss = jax.device_get(
+            self._yolox_losses(
+                head_dev,
+                jnp.asarray(local_bboxes),
+                jnp.asarray(patch_valid),
+            )
         )
+        head_out = jax.device_get(head_dev)
         bbox_outs = postprocess(
             head_out["boxes"],
             jax.nn.sigmoid(head_out["obj_logits"]),
@@ -363,13 +373,6 @@ class SupervisedTrainer(Trainer):
             conf_threshold=self.model.detector_conf_threshold,
             patch_size=cfg.patch_size,
         )[:n_visited]
-        yolo_loss = jax.device_get(
-            self._yolox_losses(
-                jax.tree_util.tree_map(jnp.asarray, head_out),
-                jnp.asarray(local_bboxes),
-                jnp.asarray(patch_valid),
-            )
-        )
         local_bboxes = local_bboxes[:n_visited]
 
         metrics = {}
@@ -546,14 +549,12 @@ class SupervisedTrainer(Trainer):
 
             if loop_id in visual_ids:
                 sample, bboxes = all_samples[0], all_bboxes[0]
-                offsets = sample["positions"][:, [1, 0]] * cfg.patch_size
                 true_b = parse_bbox_targets(
                     sample["local_bboxes"], sample["positions"], cfg.patch_size
                 )
                 pred_b = parse_bbox_predictions(
                     bboxes, sample["positions"], cfg.patch_size
                 )
-                del offsets
                 prediction_images["model_images"].append(
                     plot_model_prediction(
                         item["image"],
@@ -690,45 +691,45 @@ class SupervisedTrainer(Trainer):
             modes.append("train")
 
         for dataset, env_ids, mode in zip(datasets, datasets_env_ids, modes):
-            translations, rotations = dataset.translations, dataset.rotations
+            # Eval on an un-augmented VIEW (shallow copy, not flag mutation):
+            # the prefetcher's worker threads keep building TRAINING batches
+            # from the original dataset during the eval and must keep seeing
+            # the augmentation flags.
+            dataset = copy.copy(dataset)
             dataset.translations = dataset.rotations = False
-            try:
-                metrics, images = self.eval_envs(
-                    dataset, env_ids, sample_actions=sample_actions
-                )
+            metrics, images = self.eval_envs(
+                dataset, env_ids, sample_actions=sample_actions
+            )
 
-                if cfg.failure_select_rate > 0:
-                    worst_count = int(cfg.failure_select_rate * len(dataset))
-                    if worst_count > 0 and metrics[self.best_metric_name]:
-                        arr = np.array(metrics[self.best_metric_name])
-                        worst_ids = np.argsort(arr)[:worst_count]
-                        try:
-                            worst_env_ids = np.asarray(env_ids)[worst_ids]
-                            _, worst_images = self.eval_envs(
-                                dataset, worst_env_ids
-                            )
-                            images["worst_images"] = worst_images["model_images"]
-                        except Exception:
-                            import traceback
+            if cfg.failure_select_rate > 0:
+                worst_count = int(cfg.failure_select_rate * len(dataset))
+                if worst_count > 0 and metrics[self.best_metric_name]:
+                    arr = np.array(metrics[self.best_metric_name])
+                    worst_ids = np.argsort(arr)[:worst_count]
+                    try:
+                        worst_env_ids = np.asarray(env_ids)[worst_ids]
+                        _, worst_images = self.eval_envs(
+                            dataset, worst_env_ids
+                        )
+                        images["worst_images"] = worst_images["model_images"]
+                    except Exception:
+                        import traceback
 
-                            print("Could not compute worst images")
-                            traceback.print_exc()
+                        print("Could not compute worst images")
+                        traceback.print_exc()
 
-                sup = self.eval_supervised(dataset, env_ids)
-                for name, values in sup.items():
-                    metrics["supervised_" + name] = values
+            sup = self.eval_supervised(dataset, env_ids)
+            for name, values in sup.items():
+                metrics["supervised_" + name] = values
 
-                self.last_test_metrics = metrics
-                self.best_metric_history.append(
-                    float(np.mean(metrics[self.best_metric_name]))
-                    if metrics[self.best_metric_name]
-                    else 0.0
-                )
-                if self.logger is not None:
-                    self.logger.log_to_visdom(metrics, images, mode)
-            finally:
-                dataset.translations = translations
-                dataset.rotations = rotations
+            self.last_test_metrics = metrics
+            self.best_metric_history.append(
+                float(np.mean(metrics[self.best_metric_name]))
+                if metrics[self.best_metric_name]
+                else 0.0
+            )
+            if self.logger is not None:
+                self.logger.log_to_visdom(metrics, images, mode)
 
         self.save_state()
         self.save_metrics()

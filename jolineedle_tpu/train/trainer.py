@@ -60,6 +60,8 @@ class Trainer:
 
         # Fixed eval-id sampling (reference: src/trainer.py:44-53).
         rng = np.random.default_rng(config.seed)
+        self.test_env_ids = []
+        self.train_env_ids = []
         if test_dataset is not None and len(test_dataset):
             ids = list(range(len(test_dataset)))
             self.test_env_ids = rng.choice(ids, size=(config.test_samples,))
@@ -254,15 +256,19 @@ class Trainer:
                         self._warned_box_cap = True
                     boxes[j, : min(len(b), cfg.max_boxes)] = b[: cfg.max_boxes]
 
-                # Unique key per dispatch; mix in the first row's seed so
-                # per-episode seeding stays meaningful.
+                # Unique key per dispatch; fold in every row's seed so a
+                # sampled batched eval is deterministic in the episode set
+                # (per-EPISODE reproducibility would need per-row keys
+                # threaded through the rollout scan — not worth the plumbing
+                # for an eval that defaults to greedy).
                 self._eval_dispatch_count = (
                     getattr(self, "_eval_dispatch_count", 0) + 1
                 )
                 key = jax.random.fold_in(base_key, self._eval_dispatch_count)
-                key = jax.random.fold_in(
-                    key, int(rows[chunk[0]].get("seed", 0))
-                )
+                for i in chunk:
+                    key = jax.random.fold_in(
+                        key, int(rows[i].get("seed", 0))
+                    )
 
                 ro = self._dispatch_eval_rollout(
                     shape,
@@ -391,6 +397,25 @@ class Trainer:
         out["returns"] = jnp.flip(jnp.cumsum(jnp.flip(masked_rewards, 1), 1), 1)
         out["final_state"] = state
         return out
+
+    # --- dispatch throttling -------------------------------------------------
+    #: Force execution of the dispatched train steps every N iterations.
+    #: Async/lazy runtimes (the tunneled-TPU plugin in particular executes
+    #: AFTER block_until_ready returns) otherwise queue unbounded in-flight
+    #: steps client-side — observed multi-GB/minute RSS growth — since the
+    #: train loop only fetches at eval time. A scalar fetch (~45 ms on the
+    #: tunnel) every SYNC_EVERY iters bounds the queue at negligible
+    #: amortized cost and doubles as the loss progress line (the reference
+    #: shows per-iter tqdm, reference: src/supervised.py:834).
+    SYNC_EVERY = 32
+    PRINT_EVERY = 256
+
+    def throttle_dispatch(self, iter_num: int, metrics) -> None:
+        if iter_num % self.SYNC_EVERY != 0:
+            return
+        loss = float(jax.device_get(metrics["loss"]))
+        if iter_num % self.PRINT_EVERY == 0:
+            print(f"iter {iter_num}: loss {loss:.4f}", flush=True)
 
     # --- profiling (replaces the reference's thop/tqdm-only story,
     # SURVEY.md section 5: "TPU rebuild: jax.profiler trace option") --------

@@ -147,3 +147,30 @@ def test_uint8_rejects_glimpse_pyramid():
             n_glimps_levels=2,
             stop_enabled=False,
         )
+
+
+def test_detection_batch_includes_negatives():
+    """sample_neg random negative patches must be valid alongside the
+    positives (reference: src/env/general_env.py:506-546; regression: the
+    ranking previously never selected a negative when positives existed)."""
+    import jax
+
+    images = np.zeros((1, 128, 128, 3), np.float32)
+    bboxes = np.array([[[10, 10, 50, 50]]], np.float32)  # one patch positive
+    env = NeedleEnv(
+        images=jnp.asarray(images),
+        bboxes=jnp.asarray(bboxes),
+        patch_size=64,
+        max_ep_len=4,
+        n_glimps_levels=1,
+        stop_enabled=False,
+    )
+    patches, targets, valid = env.get_detection_batch(
+        jax.random.PRNGKey(0), max_patches=4, sample_neg=1
+    )
+    valid = np.asarray(valid[0])
+    targets = np.asarray(targets[0])
+    assert valid.sum() == 2  # 1 positive + 1 negative
+    # Exactly one valid patch carries a ground-truth box; the other is empty.
+    has_gt = (targets[..., 5] > 0.5).any(axis=-1)
+    assert has_gt[valid].sum() == 1
