@@ -13,11 +13,56 @@ reference is CHW). Boxes are ``[n, 4]`` float arrays (xyxy pixels).
 
 from __future__ import annotations
 
+import os
+import threading
+from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 from PIL import Image
+
+
+class _DecodeCache:
+    """Process-wide LRU cache of decoded uint8 images, keyed by path.
+
+    The training epoch is often just a few batches, so PNG/JPEG decode —
+    not disk — dominates host batch time (the reference is disk/CPU-bound
+    at ~3 s/iter for the same reason, reference:
+    docs/experiment_log.md:76-78). Budget via JOLINEEDLE_DECODE_CACHE_MB
+    (default 2048; 0 disables). Entries are read-only: callers copy before
+    mutating (the float32 conversion in ``transform`` already does).
+    """
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = max_bytes
+        self._data: OrderedDict = OrderedDict()
+        self._bytes = 0
+        self._lock = threading.Lock()
+
+    def get(self, path: str):
+        with self._lock:
+            arr = self._data.get(path)
+            if arr is not None:
+                self._data.move_to_end(path)
+            return arr
+
+    def put(self, path: str, arr: np.ndarray):
+        if arr.nbytes > self.max_bytes:
+            return
+        with self._lock:
+            if path in self._data:
+                return
+            self._data[path] = arr
+            self._bytes += arr.nbytes
+            while self._bytes > self.max_bytes:
+                _, old = self._data.popitem(last=False)
+                self._bytes -= old.nbytes
+
+
+_DECODE_CACHE = _DecodeCache(
+    int(os.environ.get("JOLINEEDLE_DECODE_CACHE_MB", "2048")) * 1024 * 1024
+)
 
 
 class NeedleDataset:
@@ -65,8 +110,13 @@ class NeedleDataset:
         return len(self.image_paths)
 
     def load_image(self, index: int) -> np.ndarray:
-        image = Image.open(self.image_paths[index]).convert("RGB")
-        return np.asarray(image)
+        path = self.image_paths[index]
+        image = _DECODE_CACHE.get(path)
+        if image is None:
+            image = np.asarray(Image.open(path).convert("RGB"))
+            image.setflags(write=False)  # shared across callers
+            _DECODE_CACHE.put(path, image)
+        return image
 
     def get_all_bboxes(self, index: int) -> Tuple[list, np.ndarray]:
         classes, boxes = [], []
