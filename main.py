@@ -81,6 +81,14 @@ def launch_training(train_config, model_config, dataset_dir):
     if train_config.resume_training is not None:
         print("Resuming from", train_config.resume_training)
         trainer.load_checkpoint(train_config.resume_training)
+        # Restore the dashboard history too (reference: main.py:556-560).
+        visdom_pkl = os.path.join(train_config.resume_training, "visdom.pkl")
+        if logger is not None and os.path.isfile(visdom_pkl):
+            from jolineedle_tpu.observe.visualizer import VisdomPlotter
+
+            logger.visdom = VisdomPlotter.load(
+                visdom_pkl, env_name=train_config.env_name
+            )
 
     if train_config.detection_checkpoint is not None:
         print("Load detection checkpoint from", train_config.detection_checkpoint)
