@@ -239,6 +239,8 @@ class GPT(nn.Module):
         gradient is stopped so the decision loss never touches the detector
         (reference: gpt.py:377-380)."""
         B, T = patches.shape[:2]
+        if patches.dtype == jnp.uint8:  # uint8-shipped patches, see ops/augment
+            patches = patches.astype(jnp.float32) / 255.0
         flat = patches.reshape((B * T,) + patches.shape[2:]).astype(
             self.compute_dtype
         )
@@ -377,6 +379,8 @@ class GPT(nn.Module):
     # --- detector -------------------------------------------------------------
     def yolox_outputs(self, patches: jax.Array, train: bool = False):
         """Raw YOLOX head outputs on [B, P, P, C] patches."""
+        if patches.dtype == jnp.uint8:  # uint8-shipped patches, see ops/augment
+            patches = patches.astype(jnp.float32) / 255.0
         return self.yolox(patches.astype(self.compute_dtype), train)
 
     def init_all(self, patches, actions, classes, positions, det_patches):

@@ -31,6 +31,18 @@ _PLANCKIAN_GAINS = np.array(
 )
 
 
+def to_unit_float(images: jax.Array) -> jax.Array:
+    """uint8 [0, 255] -> float32 [0, 1]; float inputs pass through.
+
+    Image tensors cross the host->device boundary as uint8 wherever
+    possible: 4x less transfer AND 4x less client-side retention on the
+    tunneled-TPU runtime, which permanently retains every transferred
+    buffer (measured ~1.1x the payload; see CLAUDE.md)."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images
+
+
 def _planckian_jitter(key, img):
     gains = jnp.asarray(_PLANCKIAN_GAINS)[
         jax.random.randint(key, (), 0, len(_PLANCKIAN_GAINS))

@@ -31,7 +31,7 @@ from ..env import Action
 from ..env.batched_env import NeedleEnv
 from ..env.oracle import OracleEnv, gather_patches, move_towards
 from ..models.gpt import GPT
-from ..ops.augment import detection_augment
+from ..ops.augment import detection_augment, to_unit_float
 from ..ops.nms import nms_numpy, postprocess
 from ..ops.simota import yolox_losses
 from ..parallel.mesh import shard_batch
@@ -84,7 +84,7 @@ class SupervisedTrainer(Trainer):
 
         def loss_fn(params, batch_stats, batch, rng):
             k_aug1, k_aug2, k_drop = jax.random.split(rng, 3)
-            patches = detection_augment(k_aug1, batch["patches"])
+            patches = detection_augment(k_aug1, to_unit_float(batch["patches"]))
 
             variables = {"params": params, "batch_stats": batch_stats}
             (logits, _), mut = model.apply(
@@ -109,7 +109,9 @@ class SupervisedTrainer(Trainer):
 
             stats = mut["batch_stats"]
             if detection:
-                det = detection_augment(k_aug2, batch["patches_yolox"])
+                det = detection_augment(
+                    k_aug2, to_unit_float(batch["patches_yolox"])
+                )
                 B, K = det.shape[:2]
                 flat = det.reshape((B * K,) + det.shape[2:])
                 (head_out, _), mut2 = model.apply(
