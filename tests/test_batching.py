@@ -65,3 +65,46 @@ def test_prefetcher_close_unblocks():
     p = Prefetcher(make_batch, n_prefetch=1)
     next(p)
     p.close()  # must not hang
+
+
+def test_supervised_batch_ships_uint8_patches():
+    """Patch tensors cross host->device as uint8 and normalize back to the
+    float pixel values within quantization error (ops/augment.to_unit_float)."""
+    import numpy as np
+
+    from jolineedle_tpu.data.toy import generate_toy_dataset
+    from jolineedle_tpu.data.dataset import build_datasets
+    from jolineedle_tpu.ops.augment import to_unit_float
+    from jolineedle_tpu.train.batching import build_supervised_batch
+
+    root = generate_toy_dataset(
+        "/tmp/toyds_u8test", n_train=2, n_test=1, image_size=(128, 192), seed=0
+    )
+
+    class Cfg:
+        patch_size = 64
+        max_seq_len = 4
+        min_keypoints = 0
+        max_keypoints = 0
+        binomial_keypoints = False
+        max_det_patches = 4
+        max_boxes = 4
+        loss_mode = "on-optimal-trajectory"
+
+    train, _ = build_datasets(
+        root, patch_size=64, max_ep_len=4, min_keypoints=0, max_keypoints=0,
+        rotations=False, translations=False,
+    )
+    batch = build_supervised_batch(train, [0, 1], Cfg, np.random.default_rng(0))
+    assert batch["patches"].dtype == np.uint8
+    assert batch["patches_yolox"].dtype == np.uint8
+
+    # Normalization returns [0, 1] floats matching the source pixels.
+    import jax.numpy as jnp
+
+    f = to_unit_float(jnp.asarray(batch["patches"]))
+    assert f.dtype == jnp.float32
+    img = train.__getitem__(0, np.random.default_rng(0))["image"]
+    assert float(f.max()) <= 1.0 and float(f.min()) >= 0.0
+    # Source images are uint8 files, so uint8 round-trip is exact.
+    assert abs(float(f.max()) - float(img.max())) < 1e-6
