@@ -35,11 +35,15 @@ def generate_toy_dataset(
     rng = np.random.default_rng(seed)
     h, w = image_size
 
+    assert h >= 128 and w >= 128, "toy images must be at least 128x128"
+
     def make_one(name: str) -> tuple:
         img = rng.integers(40, 90, (h, w, 3), dtype=np.uint8)
-        # Low-frequency texture.
-        coarse = rng.integers(0, 60, (h // 32, w // 32, 3), dtype=np.uint8)
-        img = img + np.kron(coarse, np.ones((32, 32, 1), dtype=np.uint8))
+        # Low-frequency texture (tiled up, cropped to any image size).
+        coarse = rng.integers(
+            0, 60, (-(-h // 32), -(-w // 32), 3), dtype=np.uint8
+        )
+        img = img + np.kron(coarse, np.ones((32, 32, 1), dtype=np.uint8))[:h, :w]
         boxes = []
         for _ in range(int(rng.integers(1, max_boxes + 1))):
             bw = int(rng.integers(30, 120))

@@ -131,6 +131,17 @@ class OracleEnv:
         return out
 
     # --- oracle helpers ----------------------------------------------------
+    @staticmethod
+    def cap_local_bboxes(local: np.ndarray, cap: int) -> np.ndarray:
+        """Cap ``local_bboxes`` rows to ``cap``, keeping real targets.
+
+        Rows with objectness==1 are moved to the front (stable) before
+        slicing — a raw-index slice could drop a patch's only overlapping
+        box while keeping zero padding rows whenever the image holds more
+        than ``cap`` boxes."""
+        order = np.argsort(-local[:, 5], kind="stable")
+        return local[order][:cap]
+
     def remove_stop_action(self, action: Action) -> Action:
         if action == Action.STOP:
             return self.rng.choice(MOVES)
@@ -272,9 +283,8 @@ def generate_sample(
         sample["next_actions"][i] = best
         sample["labels"][i] = int(tuple(pos) in env.bbox_patches)
         sample["masks"][i] = 1.0
-        local = env.local_bboxes(pos)
-        k = min(len(local), n_boxes)
-        sample["local_bboxes"][i, :k] = local[:k]
+        local = env.cap_local_bboxes(env.local_bboxes(pos), n_boxes)
+        sample["local_bboxes"][i, : len(local)] = local
     return sample
 
 
@@ -288,12 +298,9 @@ def detection_patch_positions(
     Returns (positions [K, 2] int32, valid [K] bool), fixed K if
     ``max_patches`` given.
     """
-    positions = set()
-    for box in env.raw_bboxes:
-        positions |= bbox_patch_positions(
-            box, env.patch_size, env.patch_height, env.patch_width
-        )
+    positions = set(env.bbox_patches)  # built once in __init__
     n_total = env.patch_height * env.patch_width
+    negative = None
     if len(positions) < n_total:
         # One random empty patch.
         empties = [
@@ -302,13 +309,24 @@ def detection_patch_positions(
             for x in range(env.patch_width)
             if (y, x) not in positions
         ]
-        positions.add(empties[int(env.rng.integers(0, len(empties)))])
+        negative = empties[int(env.rng.integers(0, len(empties)))]
 
     pos_list = sorted(positions)
     if max_patches is not None:
-        pos_list = pos_list[:max_patches]
+        # Cap WITHOUT losing the guaranteed negative: keep it, and
+        # rng-subsample the positives into the remaining slots (a plain
+        # sorted slice would scan-bias toward the top-left and could drop
+        # the one empty patch this function exists to include).
+        keep = max_patches - (1 if negative is not None else 0)
+        if len(pos_list) > keep:
+            idx = env.rng.choice(len(pos_list), size=keep, replace=False)
+            pos_list = [pos_list[i] for i in sorted(idx)]
+        if negative is not None:
+            pos_list.append(negative)
         k = max_patches
     else:
+        if negative is not None:
+            pos_list.append(negative)
         k = max(len(pos_list), 1)
     out = np.zeros((k, 2), np.int32)
     valid = np.zeros((k,), bool)

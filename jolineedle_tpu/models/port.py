@@ -88,7 +88,7 @@ def _spp(tprefix, fpath) -> Iterator[MapEntry]:
 
 def _darknet(tprefix, fpath, depth: float, depthwise: bool) -> Iterator[MapEntry]:
     base_depth = max(round(depth * 3), 1)
-    conv_i = 0 if not depthwise else 0  # per-type counters in CSPDarknet
+    conv_i = 0
     conv_name = "DWConv" if depthwise else "ConvBnAct"
     # stem (Focus -> one ConvBnAct); upstream Focus holds a BaseConv even in
     # the depthwise variants.

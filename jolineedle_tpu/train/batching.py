@@ -69,9 +69,10 @@ def build_supervised_sample(
     det_boxes = np.zeros((max_det_patches, max_boxes, 6), np.float32)
     for i in range(max_det_patches):
         if det_valid[i]:
-            local = env.local_bboxes(tuple(det_pos[i]))
-            k = min(len(local), max_boxes)
-            det_boxes[i, :k] = local[:k]
+            local = env.cap_local_bboxes(
+                env.local_bboxes(tuple(det_pos[i])), max_boxes
+            )
+            det_boxes[i, : len(local)] = local
     sample["patches_yolox"] = to_u8(
         det_patches * det_valid[:, None, None, None]
     )

@@ -353,9 +353,10 @@ class SupervisedTrainer(Trainer):
         patch_valid = np.arange(T_pad) < n_visited
         local_bboxes = np.zeros((T_pad, cfg.max_boxes, 6), np.float32)
         for i, pos in enumerate(visited):
-            local = env.local_bboxes(tuple(pos))
-            k = min(len(local), cfg.max_boxes)
-            local_bboxes[i, :k] = local[:k]
+            local = env.cap_local_bboxes(
+                env.local_bboxes(tuple(pos)), cfg.max_boxes
+            )
+            local_bboxes[i, : len(local)] = local
 
         # Losses run on the device outputs directly; ONE host fetch of the
         # head tensors (no host->device re-upload on the tunneled TPU link).

@@ -91,6 +91,13 @@ def merge_boxes(
 
     ``target=True`` means rows are (cls, x1, y1, x2, y2); otherwise
     (x1, y1, x2, y2, obj_conf, cls_confs...).
+
+    Parity quirk kept on purpose: like the reference, the greedy grouping
+    can place one box in two groups (i near A, j near both i and a later
+    seed), emitting two overlapping merged boxes. Fixing it (union-find)
+    would change merged-mAP numbers relative to the reference, so the
+    reference behavior is preserved — unlike the documented NMS-score fix,
+    this quirk only duplicates an already-covered region.
     """
     boxes = np.asarray(boxes)
     off = 1 if target else 0
