@@ -30,7 +30,7 @@ from jolineedle_tpu.config import config_from_file
 from jolineedle_tpu.data.dataset import complete_to_patch_size
 from jolineedle_tpu.env import get_actions_info
 from jolineedle_tpu.models.gpt import GPT
-from jolineedle_tpu.ops.nms import postprocess
+from jolineedle_tpu.ops.nms import sigmoid_np, postprocess
 from jolineedle_tpu.train.reinforce import ReinforceTrainer
 from jolineedle_tpu.utils.metrics import (
     compute_detection_metrics,
@@ -178,8 +178,8 @@ def infer(args):
             )
             traj_preds = postprocess(
                 head_out["boxes"],
-                jax.nn.sigmoid(head_out["obj_logits"]),
-                jax.nn.sigmoid(head_out["cls_logits"]),
+                sigmoid_np(head_out["obj_logits"]),
+                sigmoid_np(head_out["cls_logits"]),
                 conf_threshold=model.detector_conf_threshold,
                 patch_size=patch_size,
             )

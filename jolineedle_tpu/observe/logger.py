@@ -11,7 +11,7 @@ predictions / generated samples / worst failures.
 from __future__ import annotations
 
 import sys
-from collections import defaultdict
+
 
 import jax
 import numpy as np
@@ -41,7 +41,6 @@ class Logger:
     def __init__(self, train_config, model_config):
         self.train_config = train_config
         self.model_config = model_config
-        self.metrics = defaultdict(list)
         self.visdom = VisdomPlotter(train_config.env_name)
 
     # --- startup ---------------------------------------------------------

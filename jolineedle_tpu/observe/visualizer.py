@@ -47,16 +47,28 @@ class VisdomPlotter:
         if self.viz is None:
             return
         series = self.lines[window]
+        if not series:
+            return
         try:
-            for legend, ys in series.items():
-                self.viz.line(
-                    Y=np.array(ys),
-                    X=np.arange(len(ys)),
-                    win=window,
-                    name=legend,
-                    update=None,
-                    opts=dict(title=window, legend=list(series.keys())),
-                )
+            # One stacked call redraws the whole window — per-series calls
+            # with update=None would each REPLACE the window, leaving only
+            # the last legend visible (the reference stacks for the same
+            # reason, reference: src/visualizer.py:113-134). Shorter series
+            # are NaN-padded (plotly renders gaps).
+            n = max(len(ys) for ys in series.values())
+            Y = np.full((n, len(series)), np.nan)
+            for j, ys in enumerate(series.values()):
+                Y[: len(ys), j] = ys
+            X = np.tile(np.arange(n)[:, None], (1, len(series)))
+            if len(series) == 1:
+                Y, X = Y[:, 0], X[:, 0]
+            self.viz.line(
+                Y=Y,
+                X=X,
+                win=window,
+                update=None,
+                opts=dict(title=window, legend=list(series.keys())),
+            )
         except Exception:
             self.viz = None
 
@@ -135,14 +147,18 @@ class VisdomPlotter:
 
     def republish(self):
         """Re-push all buffered state to a running server (reference:
-        scripts/load_visdom.py:13-32)."""
+        scripts/load_visdom.py:13-32). Degrades gracefully mid-push, like
+        every other upload path."""
         if self.viz is None:
             self.viz = _try_visdom(self.env_name, self.port)
         for window in list(self.lines):
             self.upload_lineplot(window)
-        for window, grid in self.images.items():
-            if self.viz is not None:
-                self.viz.images(grid, win=window, opts=dict(title=window))
-        for window, text in self.texts.items():
-            if self.viz is not None:
-                self.viz.text(text, win=window, opts=dict(title=window))
+        try:
+            for window, grid in self.images.items():
+                if self.viz is not None:
+                    self.viz.images(grid, win=window, opts=dict(title=window))
+            for window, text in self.texts.items():
+                if self.viz is not None:
+                    self.viz.text(text, win=window, opts=dict(title=window))
+        except Exception:
+            self.viz = None

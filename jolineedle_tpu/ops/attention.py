@@ -71,10 +71,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, sm_scale):
         )
         return acc, m_new, l_new
 
-    # Causality: only k blocks up to and including the q block contribute.
+    # Causality: only k blocks overlapping keys <= the q block's last row
+    # contribute. The bound must be computed in K-block units — `qi + 1`
+    # is only correct when block_q == block_k (with block_q > block_k it
+    # skipped causally-visible keys).
+    n_kblocks_needed = ((qi + 1) * block_q + block_k - 1) // block_k
     acc, m, l = jax.lax.fori_loop(
         0,
-        qi + 1,
+        n_kblocks_needed,
         body,
         (
             jnp.zeros((block_q, q_ref.shape[2]), jnp.float32),

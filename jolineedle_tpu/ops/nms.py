@@ -19,6 +19,16 @@ import jax
 import jax.numpy as jnp
 
 
+def sigmoid_np(x) -> np.ndarray:
+    """Stable numpy sigmoid for host-side postprocess inputs.
+
+    ``jax.nn.sigmoid`` on a fetched numpy array would round-trip it through
+    the default device — an eager RPC per call on the tunneled-TPU backend."""
+    x = np.asarray(x, np.float64)
+    e = np.exp(-np.abs(x))
+    return np.where(x >= 0, 1.0 / (1.0 + e), e / (1.0 + e))
+
+
 def nms_numpy(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float) -> np.ndarray:
     """Indices kept by greedy NMS (xyxy boxes), score-descending."""
     boxes = np.asarray(boxes, dtype=np.float64)
@@ -54,7 +64,17 @@ def postprocess(
 ) -> List[Optional[np.ndarray]]:
     """Per-image ``[n, 7]`` arrays (x1, y1, x2, y2, obj, cls_conf, cls_id)
     or None — same contract as upstream postprocess + the reference's clamp
-    to the patch (reference: src/models/yolox.py:93-113)."""
+    to the patch (reference: src/models/yolox.py:93-113). NMS runs on the
+    UNCLAMPED boxes and the clamp applies after, exactly like the reference
+    (upstream postprocess then ``clamp_outputs``) — clamping first would
+    change suppression decisions for boxes crossing the patch border.
+
+    Inputs are coerced to numpy up front: callers may hand in jnp arrays,
+    and the per-image loop must not become per-op device RPCs on the
+    tunneled-TPU backend."""
+    boxes_cxcywh = np.asarray(boxes_cxcywh)
+    obj_probs = np.asarray(obj_probs)
+    cls_probs = np.asarray(cls_probs)
     B = boxes_cxcywh.shape[0]
     out: List[Optional[np.ndarray]] = []
     for i in range(B):
@@ -67,10 +87,10 @@ def postprocess(
             continue
         b = boxes_cxcywh[i][keep]
         xyxy = np.concatenate([b[:, :2] - b[:, 2:4] / 2, b[:, :2] + b[:, 2:4] / 2], -1)
-        if patch_size is not None:
-            xyxy = np.clip(xyxy, 0, patch_size - 1)
         scores = conf[keep]
         keep_nms = nms_numpy(xyxy, scores, nms_threshold)
+        if patch_size is not None:
+            xyxy = np.clip(xyxy, 0, patch_size - 1)
         rows = np.concatenate(
             [
                 xyxy[keep_nms],

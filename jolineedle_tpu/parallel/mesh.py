@@ -26,9 +26,13 @@ def make_mesh(device_ids: Optional[Sequence[int]] = None) -> Mesh:
     """
     devices = jax.devices()
     if device_ids is not None:
-        picked = [devices[i] for i in device_ids if i < len(devices)]
-        if picked:
-            devices = picked
+        bad = [i for i in device_ids if not 0 <= i < len(devices)]
+        if bad:
+            raise ValueError(
+                f"--devices {sorted(set(bad))} out of range: "
+                f"{len(devices)} device(s) visible"
+            )
+        devices = [devices[i] for i in device_ids]
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 
@@ -53,16 +57,3 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
-    """Zero-pad the leading dim so it divides the mesh (masks make the
-    padding inert downstream — caller must carry a validity mask)."""
-    import numpy as _np
-
-    def _pad(x):
-        b = x.shape[0]
-        pad = (-b) % multiple
-        if pad == 0:
-            return x
-        return _np.concatenate([x, _np.zeros((pad,) + x.shape[1:], x.dtype)])
-
-    return {k: _pad(v) for k, v in batch.items()}

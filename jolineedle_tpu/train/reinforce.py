@@ -47,7 +47,7 @@ from ..env.batched_env import NeedleEnv
 from ..env.oracle import gather_patches
 from ..models.gpt import GPT
 from ..ops.augment import detection_augment
-from ..ops.nms import postprocess
+from ..ops.nms import sigmoid_np, postprocess
 from ..ops.simota import yolox_losses
 from ..parallel.mesh import shard_batch
 from ..utils.geometry import (
@@ -435,8 +435,8 @@ class ReinforceTrainer(Trainer):
             )
             traj_preds = postprocess(
                 head_out["boxes"],
-                jax.nn.sigmoid(head_out["obj_logits"]),
-                jax.nn.sigmoid(head_out["cls_logits"]),
+                sigmoid_np(head_out["obj_logits"]),
+                sigmoid_np(head_out["cls_logits"]),
                 conf_threshold=self.model.detector_conf_threshold,
                 patch_size=cfg.patch_size,
             )[:n_valid]
@@ -502,8 +502,8 @@ class ReinforceTrainer(Trainer):
                 det_head = jax.device_get(det_head_dev)
                 det_preds = postprocess(
                     det_head["boxes"],
-                    jax.nn.sigmoid(det_head["obj_logits"]),
-                    jax.nn.sigmoid(det_head["cls_logits"]),
+                    sigmoid_np(det_head["obj_logits"]),
+                    sigmoid_np(det_head["cls_logits"]),
                     conf_threshold=self.model.detector_conf_threshold,
                     patch_size=cfg.patch_size,
                 )

@@ -32,7 +32,7 @@ from ..env.batched_env import NeedleEnv
 from ..env.oracle import OracleEnv, gather_patches, move_towards
 from ..models.gpt import GPT
 from ..ops.augment import detection_augment, to_unit_float
-from ..ops.nms import nms_numpy, postprocess
+from ..ops.nms import sigmoid_np, nms_numpy, postprocess
 from ..ops.simota import yolox_losses
 from ..parallel.mesh import shard_batch
 from ..utils.geometry import (
@@ -371,8 +371,8 @@ class SupervisedTrainer(Trainer):
         head_out = jax.device_get(head_dev)
         bbox_outs = postprocess(
             head_out["boxes"],
-            jax.nn.sigmoid(head_out["obj_logits"]),
-            jax.nn.sigmoid(head_out["cls_logits"]),
+            sigmoid_np(head_out["obj_logits"]),
+            sigmoid_np(head_out["cls_logits"]),
             conf_threshold=self.model.detector_conf_threshold,
             patch_size=cfg.patch_size,
         )[:n_visited]
@@ -656,8 +656,8 @@ class SupervisedTrainer(Trainer):
                 head_np = jax.device_get(head_out)
                 outs = postprocess(
                     head_np["boxes"],
-                    jax.nn.sigmoid(head_np["obj_logits"]),
-                    jax.nn.sigmoid(head_np["cls_logits"]),
+                    sigmoid_np(head_np["obj_logits"]),
+                    sigmoid_np(head_np["cls_logits"]),
                     conf_threshold=self.model.detector_conf_threshold,
                     patch_size=cfg.patch_size,
                 )

@@ -27,7 +27,9 @@ def _flops(fn, *args) -> float:
     compiled = jax.jit(fn).lower(*args).compile()
     analysis = compiled.cost_analysis()
     if isinstance(analysis, list):
-        analysis = analysis[0]
+        analysis = analysis[0] if analysis else None
+    if not analysis:  # backend without cost analysis: degrade to 0
+        return 0.0
     return float(analysis.get("flops", 0.0))
 
 

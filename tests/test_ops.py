@@ -113,3 +113,28 @@ def test_pairwise_iou():
     b = jnp.array([[50.0, 50.0, 20.0, 20.0], [100.0, 100.0, 10.0, 10.0]])
     iou = pairwise_iou_cxcywh(a, b)
     assert np.allclose(np.asarray(iou), [[1.0, 0.0]])
+
+
+def test_flash_attention_mismatched_blocks():
+    """block_q != block_k must still be causally exact (regression: the
+    k-block loop bound was computed in q-block units, silently skipping
+    visible keys when block_q > block_k)."""
+    import jax
+
+    from jolineedle_tpu.ops.attention import (
+        causal_attention_reference,
+        flash_attention,
+    )
+
+    rng = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (1, 2, 256, 128))
+    k = jax.random.normal(kk, (1, 2, 256, 128))
+    v = jax.random.normal(kv, (1, 2, 256, 128))
+    ref = causal_attention_reference(q, k, v)
+    for bq, bk in [(128, 64), (64, 128), (128, 128)]:
+        out = flash_attention(q, k, v, block_q=bq, block_k=bk, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5,
+            err_msg=f"block_q={bq} block_k={bk}",
+        )
