@@ -158,6 +158,13 @@ class GPT(nn.Module):
     pos_emb_size: int
     detector_conf_threshold: float = 0.5
     compute_dtype: Any = jnp.float32
+    #: Disable the incremental-decode optimization: rollouts re-run the full
+    #: forward over the whole prefix each step instead of KV-cache decode
+    #: (reference: main.py:301-306, src/models/gpt.py:427-435 — there it
+    #: disables the embedding cache; here the analogous "no reuse" path).
+    #: The two paths are numerically identical (tested); the flag survives as
+    #: a debugging oracle, like the reference's "deprecated" marker implies.
+    no_recurrent_embedding: bool = False
 
     token_offset: int = 1  # class-conditional token (reference: gpt.py:229-231)
 
@@ -184,6 +191,9 @@ class GPT(nn.Module):
             pos_emb_size=model_config.pos_emb_size,
             detector_conf_threshold=model_config.detector_conf_threshold,
             compute_dtype=dtype,
+            no_recurrent_embedding=getattr(
+                model_config, "no_recurrent_embedding", False
+            ),
         )
 
     def setup(self):

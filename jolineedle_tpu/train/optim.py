@@ -7,7 +7,18 @@ src/reinforce.py:341-353). TPU-native: one ``optax.multi_transform`` over
 param-path labels + ``optax.MultiSteps`` microbatch accumulation — the whole
 update is part of the jitted train step.
 
-Torch AdamW defaults apply: betas (0.9, 0.999), eps 1e-8, weight_decay 0.01.
+Torch AdamW defaults apply for betas (0.9, 0.999) and eps 1e-8. Weight decay
+comes from ``--weight-decay`` (reference: main.py:137-141). Note the
+reference never actually honors its flag: the AdamW constructors omit
+``weight_decay`` (torch then applies its 0.01 default, reference:
+src/models/gpt.py:547-562) and the resume-time "override"
+``optim.weight_decay = ...`` (reference: main.py:552-557, 584) sets a dead
+attribute — torch optimizers read ``param_groups``, not ``optim.weight_decay``.
+Here the flag is wired for real: construction uses the CLI value, and because
+the optax transform is rebuilt from the *current* config on every trainer
+construction while checkpoints store only optimizer *state* (moments/counts),
+resume and --detection-checkpoint re-apply the current CLI lr/weight-decay by
+construction — the reference's intended override semantics.
 """
 
 from __future__ import annotations
@@ -50,9 +61,10 @@ def make_optimizer(
     freeze_image_processor: bool = False,
     detection_enabled: bool = True,
     clip_value: Optional[float] = None,
+    weight_decay: float = 0.0,
 ) -> optax.GradientTransformation:
     adamw = lambda lr: optax.adamw(
-        lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01
+        lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
     )
     tx = optax.multi_transform(
         {

@@ -134,6 +134,7 @@ class Trainer:
             ),
             detection_enabled=cfg.detection_enabled,
             clip_value=1.0 if cfg.training_mode == "reinforce" else None,
+            weight_decay=getattr(cfg, "weight_decay", 0.0),
         )
         opt_state = self.tx.init(params)
         state = TrainState(
@@ -325,20 +326,67 @@ class Trainer:
             state, patches, _ = env.reset(positions=positions)
         if classes is None:
             classes = jnp.zeros((B,), jnp.int32)
-        cache = model.apply(variables, classes, method=GPT.init_cache)
+        # --no-recurrent-embedding: run the FULL forward over the whole
+        # prefix every step instead of O(1) KV-cache decode (reference:
+        # main.py:301-306 disables the reference's embedding reuse the same
+        # way). T_max x the compute, identical numerics — kept as a
+        # scan-vs-forward equivalence oracle and debugging fallback.
+        no_rec = getattr(model, "no_recurrent_embedding", False)
+        T_max = env.max_ep_len
+        if no_rec:
+            hist = {
+                "patches": jnp.zeros(
+                    (B, T_max) + patches.shape[2:], patches.dtype
+                ),
+                "actions": jnp.zeros((B, T_max), jnp.int32),
+                "positions": jnp.zeros((B, T_max, 2), jnp.int32),
+            }
+            cache = hist
+        else:
+            cache = model.apply(variables, classes, method=GPT.init_cache)
         init_positions = state.positions
 
         def step_fn(carry, t):
             state, cache, prev_action, patches, done, key = carry
-            logits, cache = model.apply(
-                variables,
-                cache,
-                patches[:, 0],
-                prev_action,
-                state.positions,
-                t,
-                method=GPT.decode_step,
-            )
+            if no_rec:
+                hist = {
+                    "patches": jax.lax.dynamic_update_slice(
+                        cache["patches"],
+                        patches[:, :1],
+                        (0, t) + (0,) * (patches.ndim - 2),
+                    ),
+                    "actions": jax.lax.dynamic_update_slice(
+                        cache["actions"], prev_action[:, None], (0, t)
+                    ),
+                    "positions": jax.lax.dynamic_update_slice(
+                        cache["positions"],
+                        state.positions[:, None],
+                        (0, t, 0),
+                    ),
+                }
+                all_logits, _ = model.apply(
+                    variables,
+                    hist["patches"],
+                    hist["actions"],
+                    classes,
+                    hist["positions"],
+                )
+                # Causal masking makes logit t depend only on tokens <= t,
+                # so the zero-padded future positions are inert.
+                logits = jax.lax.dynamic_slice_in_dim(
+                    all_logits, t, 1, axis=1
+                )[:, 0]
+                cache = hist
+            else:
+                logits, cache = model.apply(
+                    variables,
+                    cache,
+                    patches[:, 0],
+                    prev_action,
+                    state.positions,
+                    t,
+                    method=GPT.decode_step,
+                )
             logits = logits.astype(jnp.float32)
             key, k_sample = jax.random.split(key)
             if sample:

@@ -149,6 +149,61 @@ def test_scan_rollout_matches_host_decode_loop(trainer):
         prev_action = np.int32(action)
 
 
+def test_no_recurrent_embedding_matches_kv_cache(trainer):
+    """--no-recurrent-embedding selects the full-prefix-forward rollout
+    (reference: main.py:301-306 disables the embedding cache the same way);
+    it must be numerically identical to the KV-cache decode path — this
+    doubles as a second scan-vs-forward equivalence oracle."""
+    from jolineedle_tpu.env.batched_env import NeedleEnv
+
+    rng = np.random.default_rng(7)
+    image = rng.random((64, 96, 3)).astype(np.float32)
+    boxes = np.array([[5.0, 5.0, 30.0, 30.0]], np.float32)
+    variables = trainer.eval_variables()
+    T = trainer.max_ep_len
+    pos0 = np.array([1, 1], np.int32)
+
+    def run():
+        @jax.jit
+        def scan_rollout(variables, image, boxes, pos0):
+            env = NeedleEnv(
+                image[None], boxes[None], 32, T, 1, False,
+                terminate_on_all_found=False,
+            )
+            return trainer._rollout_scan(
+                variables,
+                env,
+                jax.random.PRNGKey(0),
+                sample=False,
+                collect=("logits", "actions"),
+                positions=pos0[None],
+            )
+
+        return jax.device_get(
+            scan_rollout(
+                variables, jnp.asarray(image), jnp.asarray(boxes),
+                jnp.asarray(pos0),
+            )
+        )
+
+    ro_kv = run()
+    orig = trainer.model
+    trainer.model = orig.clone(no_recurrent_embedding=True)
+    try:
+        ro_full = run()
+    finally:
+        trainer.model = orig
+
+    np.testing.assert_allclose(
+        ro_full["logits"], ro_kv["logits"], atol=1e-4
+    )
+    np.testing.assert_array_equal(ro_full["actions"], ro_kv["actions"])
+    np.testing.assert_array_equal(ro_full["positions"], ro_kv["positions"])
+    np.testing.assert_allclose(
+        ro_full["rewards"], ro_kv["rewards"], atol=1e-5
+    )
+
+
 def test_episode_metrics_range(trainer):
     rng = np.random.default_rng(2)
     image = rng.random((64, 96, 3)).astype(np.float32)
