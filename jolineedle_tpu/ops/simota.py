@@ -94,6 +94,11 @@ def simota_assign(
 
     candidate = (in_box | in_center) & gt_valid[:, None]
     strong = in_box & in_center
+    # Upstream pools anchors over the UNION of all gts' candidates
+    # (yolo_head.get_in_boxes_info returns is_in_boxes_anchor = any-gt), and
+    # every downstream step — pairwise ious for dynamic-k, the per-gt top-k
+    # cost selection — runs over that union, not per-gt candidate sets.
+    union = candidate.any(0)  # [A]
 
     ious = pairwise_iou_cxcywh(gt_boxes, pred_boxes)  # [G, A]
     iou_cost = -jnp.log(ious + 1e-8)
@@ -105,29 +110,37 @@ def simota_assign(
         cls_prob[None, :, :], gt_onehot[:, None, :]
     ).sum(-1)  # [G, A]
 
+    # Non-strong anchors get upstream's 100000 penalty; anchors outside the
+    # candidate union (or padded gts) are pushed past every real entry so
+    # the dense rank-based top-k never reaches them (k <= #union always:
+    # k = int(sum of <= #union ious each <= 1)).
     cost = (
         pair_cls_cost
         + 3.0 * iou_cost
         + HIGH_COST * (~strong).astype(jnp.float32)
-        + HIGH_COST * (~candidate).astype(jnp.float32)
+        + 1e9 * (~(union[None, :] & gt_valid[:, None])).astype(jnp.float32)
     )
 
-    # Dynamic-k: k_g = clamp(int(sum of top-10 candidate ious), 1).
-    masked_ious = jnp.where(candidate, ious, 0.0)
+    # Dynamic-k: k_g = clamp(int(sum of top-10 union-candidate ious), 1).
+    masked_ious = jnp.where(union[None, :], ious, 0.0)
     k_top = min(TOPK_CANDIDATES, A)
     topk_ious, _ = jax.lax.top_k(masked_ious, k_top)
     dynamic_k = jnp.clip(topk_ious.sum(-1).astype(jnp.int32), 1, None)  # [G]
 
-    # Per-gt rank of anchors by ascending cost.
+    # Per-gt rank of anchors by ascending cost (upstream: torch.topk
+    # largest=False over the union columns).
     order = jnp.argsort(cost, axis=-1)
     rank = jnp.argsort(order, axis=-1)  # rank[g, a] = position of a
-    matching = (rank < dynamic_k[:, None]) & candidate  # [G, A]
+    matching = (rank < dynamic_k[:, None]) & union[None, :] & gt_valid[:, None]
 
-    # Resolve anchors matched to multiple gts: keep min-cost gt.
+    # Resolve anchors matched to multiple gts: upstream argmins the cost
+    # over ALL gts for that anchor (not just the currently-matching ones),
+    # then assigns the winner even if it had not selected the anchor
+    # (yolo_head.dynamic_k_matching).
     n_matches = matching.sum(0)  # [A]
-    best_gt = jnp.argmin(jnp.where(matching, cost, jnp.inf), axis=0)  # [A]
+    best_gt = jnp.argmin(cost, axis=0)  # [A]
     only_best = jax.nn.one_hot(best_gt, matching.shape[0], dtype=bool).T
-    matching = jnp.where(n_matches[None, :] > 1, matching & only_best, matching)
+    matching = jnp.where(n_matches[None, :] > 1, only_best, matching)
 
     fg_mask = matching.any(0)
     matched_gt = jnp.argmax(matching, axis=0)  # [A] (0 where no match; gated)

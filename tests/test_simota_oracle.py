@@ -1,0 +1,252 @@
+"""Numerical oracle for SimOTA assignment (SURVEY.md hard part #1).
+
+The upstream Megvii ``yolox`` package the reference consumes (reference:
+src/models/yolox.py:7-10, 58-73) is not installed here, so this file
+re-derives ``YOLOXHead.get_assignments`` / ``get_in_boxes_info`` /
+``dynamic_k_matching`` (classic 0.1-0.3 semantics: in-box OR center-radius
+2.5 candidates, union pooling, 100000 non-strong penalty, dynamic-k from
+top-10 ious, all-gt argmin conflict resolution) as a slow, data-dependent
+numpy implementation, and asserts ``ops/simota.py::simota_assign`` produces
+identical fg_mask / matched_gt / matched_iou on randomized scenes including
+multi-GT anchor conflicts.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def upstream_simota(
+    pred_boxes,  # [A, 4] cxcywh
+    obj_logits,  # [A]
+    cls_logits,  # [A, nc]
+    gt_boxes,  # [G, 4] cxcywh
+    gt_classes,  # [G]
+    grids,  # [A, 2] (x, y)
+    strides,  # [A]
+):
+    """Faithful numpy re-derivation of upstream get_assignments (loops and
+    data-dependent shapes, exactly like the torch original)."""
+    A = len(pred_boxes)
+    G = len(gt_boxes)
+    nc = cls_logits.shape[1]
+
+    # --- get_in_boxes_info ---------------------------------------------------
+    x_centers = (grids[:, 0] + 0.5) * strides  # [A]
+    y_centers = (grids[:, 1] + 0.5) * strides
+
+    gt_l = gt_boxes[:, 0] - 0.5 * gt_boxes[:, 2]
+    gt_r = gt_boxes[:, 0] + 0.5 * gt_boxes[:, 2]
+    gt_t = gt_boxes[:, 1] - 0.5 * gt_boxes[:, 3]
+    gt_b = gt_boxes[:, 1] + 0.5 * gt_boxes[:, 3]
+    deltas = np.stack(
+        [
+            x_centers[None, :] - gt_l[:, None],
+            gt_r[:, None] - x_centers[None, :],
+            y_centers[None, :] - gt_t[:, None],
+            gt_b[:, None] - y_centers[None, :],
+        ],
+        axis=-1,
+    )  # [G, A, 4]
+    is_in_boxes = deltas.min(-1) > 0.0
+
+    radius = 2.5
+    c_deltas = np.stack(
+        [
+            x_centers[None, :] - (gt_boxes[:, None, 0] - radius * strides[None, :]),
+            (gt_boxes[:, None, 0] + radius * strides[None, :]) - x_centers[None, :],
+            y_centers[None, :] - (gt_boxes[:, None, 1] - radius * strides[None, :]),
+            (gt_boxes[:, None, 1] + radius * strides[None, :]) - y_centers[None, :],
+        ],
+        axis=-1,
+    )
+    is_in_centers = c_deltas.min(-1) > 0.0
+
+    fg_mask = is_in_boxes.any(0) | is_in_centers.any(0)  # union [A]
+    is_in_boxes_and_center = (
+        is_in_boxes[:, fg_mask] & is_in_centers[:, fg_mask]
+    )  # [G, Nc]
+
+    cand = np.where(fg_mask)[0]
+    pb = pred_boxes[cand]
+
+    # --- pairwise ious (bboxes_iou, cxcywh) ----------------------------------
+    def xyxy(b):
+        return np.concatenate([b[:, :2] - b[:, 2:4] / 2, b[:, :2] + b[:, 2:4] / 2], 1)
+
+    ga, pa = xyxy(gt_boxes), xyxy(pb)
+    lt = np.maximum(ga[:, None, :2], pa[None, :, :2])
+    rb = np.minimum(ga[:, None, 2:], pa[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    union_area = (
+        (gt_boxes[:, 2] * gt_boxes[:, 3])[:, None]
+        + (pb[:, 2] * pb[:, 3])[None, :]
+        - inter
+    )
+    ious = np.where(union_area > 0, inter / np.maximum(union_area, 1e-12), 0.0)
+
+    iou_cost = -np.log(ious + 1e-8)
+    cls_p = _sigmoid(cls_logits[cand]) * _sigmoid(obj_logits[cand])[:, None]
+    sq = np.sqrt(cls_p)  # [Nc, nc]
+    onehot = np.eye(nc)[gt_classes]  # [G, nc]
+    eps = 1e-12
+    bce = -(
+        onehot[:, None, :] * np.log(np.clip(sq[None], eps, None))
+        + (1 - onehot[:, None, :]) * np.log(np.clip(1 - sq[None], eps, None))
+    )
+    pair_cls = bce.sum(-1)  # [G, Nc]
+
+    cost = pair_cls + 3.0 * iou_cost + 100000.0 * (~is_in_boxes_and_center)
+
+    # --- dynamic_k_matching --------------------------------------------------
+    matching = np.zeros_like(cost, dtype=np.int64)
+    n_cand_k = min(10, ious.shape[1])
+    topk = np.sort(ious, axis=1)[:, ::-1][:, :n_cand_k]
+    dynamic_ks = np.clip(topk.sum(1).astype(np.int64), 1, None)
+    for g in range(G):
+        pos = np.argsort(cost[g], kind="stable")[: dynamic_ks[g]]
+        matching[g, pos] = 1
+    anchor_matching = matching.sum(0)
+    multi = anchor_matching > 1
+    if multi.any():
+        cost_argmin = cost[:, multi].argmin(0)
+        matching[:, multi] = 0
+        matching[cost_argmin, multi] = 1
+    fg_in = matching.sum(0) > 0
+
+    full_fg = np.zeros(A, bool)
+    full_fg[cand] = fg_in
+    matched_gt = np.zeros(A, np.int64)
+    matched_iou = np.zeros(A, np.float64)
+    matched_gt[cand[fg_in]] = matching[:, fg_in].argmax(0)
+    matched_iou[cand[fg_in]] = (matching * ious).sum(0)[fg_in]
+    return full_fg, matched_gt, matched_iou
+
+
+def _make_grids(patch, strides_levels=(8, 16, 32)):
+    grids, strides = [], []
+    for s in strides_levels:
+        n = patch // s
+        ys, xs = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        grids.append(np.stack([xs.ravel(), ys.ravel()], 1))
+        strides.append(np.full(n * n, s))
+    return (
+        np.concatenate(grids).astype(np.float64),
+        np.concatenate(strides).astype(np.float64),
+    )
+
+
+def _random_scene(seed, patch=64, overlap=False):
+    rng = np.random.default_rng(seed)
+    grids, strides = _make_grids(patch)
+    A = len(grids)
+    G = int(rng.integers(1, 5))
+    nc = 1
+
+    if overlap:
+        # Heavily overlapping gts around one spot -> multi-gt conflicts.
+        base = rng.uniform(patch * 0.3, patch * 0.7, 2)
+        cxy = base[None, :] + rng.uniform(-4, 4, (G, 2))
+        wh = rng.uniform(10, 40, (G, 2))
+    else:
+        cxy = rng.uniform(4, patch - 4, (G, 2))
+        wh = rng.uniform(4, 48, (G, 2))
+    gt_boxes = np.concatenate([cxy, wh], 1)
+    gt_classes = np.zeros(G, np.int64)
+
+    # Predictions: decoded boxes near each anchor (like a mid-training head).
+    centers = (grids + 0.5) * strides[:, None]
+    pred_cxy = centers + rng.normal(0, 4, (A, 2)) * strides[:, None] / 8
+    pred_wh = np.exp(rng.normal(0.8, 0.6, (A, 2))) * strides[:, None]
+    pred_boxes = np.concatenate([pred_cxy, pred_wh], 1)
+    obj_logits = rng.normal(0, 2, A)
+    cls_logits = rng.normal(0, 2, (A, nc))
+    return pred_boxes, obj_logits, cls_logits, gt_boxes, gt_classes, grids, strides
+
+
+def _scene_params():
+    cases = [(seed * 7 + int(ov), ov) for seed in range(8) for ov in (False, True)]
+    # Seeds where the round-1 per-gt-candidate pooling / matching-only
+    # conflict-argmin semantics diverge from upstream (found by scanning 600
+    # overlap scenes); the union-pooling + all-gt-argmin implementation
+    # matches the oracle on all of them. Regression anchors.
+    cases += [(s, True) for s in (103, 271, 330, 431, 490)]
+    return cases
+
+
+@pytest.mark.parametrize("seed,overlap", _scene_params())
+def test_simota_assign_matches_upstream_oracle(seed, overlap):
+    from jolineedle_tpu.ops.simota import simota_assign
+
+    (pred_boxes, obj_logits, cls_logits, gt_boxes, gt_classes, grids,
+     strides) = _random_scene(seed, overlap=overlap)
+
+    ref_fg, ref_gt, ref_iou = upstream_simota(
+        pred_boxes, obj_logits, cls_logits, gt_boxes, gt_classes, grids,
+        strides,
+    )
+
+    fg, mgt, miou = jax.jit(simota_assign)(
+        jnp.asarray(pred_boxes, jnp.float32),
+        jnp.asarray(obj_logits, jnp.float32),
+        jnp.asarray(cls_logits, jnp.float32),
+        jnp.asarray(gt_boxes, jnp.float32),
+        jnp.asarray(gt_classes, jnp.int32),
+        jnp.ones(len(gt_boxes), bool),
+        jnp.asarray(grids, jnp.float32),
+        jnp.asarray(strides, jnp.float32),
+    )
+    fg = np.asarray(fg)
+    np.testing.assert_array_equal(fg, ref_fg, err_msg="fg_mask diverges")
+    np.testing.assert_array_equal(
+        np.asarray(mgt)[fg], ref_gt[fg], err_msg="matched gt diverges"
+    )
+    np.testing.assert_allclose(
+        np.asarray(miou)[fg], ref_iou[fg], atol=1e-4,
+        err_msg="matched iou diverges",
+    )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_simota_assign_padded_gts_are_inert(seed):
+    """Appending invalid (padded) gt rows must not change the assignment."""
+    from jolineedle_tpu.ops.simota import simota_assign
+
+    (pred_boxes, obj_logits, cls_logits, gt_boxes, gt_classes, grids,
+     strides) = _random_scene(1000 + seed)
+    G = len(gt_boxes)
+
+    def run(gt_b, gt_c, valid):
+        return jax.jit(simota_assign)(
+            jnp.asarray(pred_boxes, jnp.float32),
+            jnp.asarray(obj_logits, jnp.float32),
+            jnp.asarray(cls_logits, jnp.float32),
+            jnp.asarray(gt_b, jnp.float32),
+            jnp.asarray(gt_c, jnp.int32),
+            jnp.asarray(valid),
+            jnp.asarray(grids, jnp.float32),
+            jnp.asarray(strides, jnp.float32),
+        )
+
+    fg0, gt0, iou0 = run(gt_boxes, gt_classes, np.ones(G, bool))
+    # Padding rows deliberately overlap real anchors (all-zero AND a huge box)
+    pad_boxes = np.concatenate(
+        [gt_boxes, [[0, 0, 0, 0]], [[32, 32, 64, 64]]], 0
+    )
+    pad_classes = np.concatenate([gt_classes, [0], [0]])
+    valid = np.concatenate([np.ones(G, bool), [False], [False]])
+    fg1, gt1, iou1 = run(pad_boxes, pad_classes, valid)
+
+    np.testing.assert_array_equal(np.asarray(fg0), np.asarray(fg1))
+    fg = np.asarray(fg0)
+    np.testing.assert_array_equal(np.asarray(gt0)[fg], np.asarray(gt1)[fg])
+    np.testing.assert_allclose(
+        np.asarray(iou0)[fg], np.asarray(iou1)[fg], atol=1e-5
+    )
