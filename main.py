@@ -23,8 +23,22 @@ import jolineedle_tpu  # noqa: F401  (honor_env_platforms + compile cache)
 # Multi-host (DCN) training: one process per host joins the cluster and the
 # data mesh spans all hosts' devices — this one call replaces the reference's
 # MASTER_ADDR/port process-group rendezvous (reference: src/trainer.py:61-71).
+# On managed clusters (SLURM/MPI/GKE) num_processes/process_id auto-detect;
+# plain launchers set JAX_NUM_PROCESSES / JAX_PROCESS_ID explicitly
+# (exercised end-to-end by tests/test_dcn_smoke.py).
 if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-    jax.distributed.initialize()
+    jax.distributed.initialize(
+        num_processes=(
+            int(os.environ["JAX_NUM_PROCESSES"])
+            if os.environ.get("JAX_NUM_PROCESSES")
+            else None
+        ),
+        process_id=(
+            int(os.environ["JAX_PROCESS_ID"])
+            if os.environ.get("JAX_PROCESS_ID")
+            else None
+        ),
+    )
 
 from jolineedle_tpu.config import args_to_config, get_args, save_config
 from jolineedle_tpu.data.dataset import build_datasets
