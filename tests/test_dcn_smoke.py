@@ -37,6 +37,10 @@ def test_two_process_sharded_train_step():
         "JAX_NUM_PROCESSES": "2",
         # keep workers off any persistent cache contention
         "JOLINEEDLE_DECODE_CACHE_MB": "0",
+        # The persistent XLA cache is poison here: multi-process CPU compiles
+        # can AOT-target machine features (+prefer-no-gather) the plain
+        # runtime refuses to load, crashing the worker at the first fetch.
+        "JOLINEEDLE_NO_CACHE": "1",
     }
     procs = []
     for pid in range(2):
