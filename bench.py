@@ -18,8 +18,15 @@ src/env/general_env.py:285-306) and syncs host<->device every step
 whole rollout — KV-cache decode, sampling, env step — inside one
 ``lax.scan`` (jolineedle_tpu/train/reinforce.py).
 
+Besides steps/s, the JSON line reports utilization: FLOPs per rollout from
+XLA cost analysis, achieved TFLOP/s, the measured bf16 matmul peak of the
+same chip, and MFU — see docs/experiment_log.md "single-chip utilization"
+for the roofline analysis of why nano-scale depthwise convs cap MFU.
+
 Env knobs: BENCH_SMALL=1 shrinks shapes for CPU smoke runs;
-BENCH_BATCH/BENCH_STEPS/BENCH_ITERS override sizes.
+BENCH_BATCH/BENCH_STEPS/BENCH_ITERS override sizes; BENCH_EMBEDDER picks
+the patch-embedder YOLOX variant (default yolox-nano; the reference's
+headline LARD pairing used yolox-s, reference: docs/experiment_log.md:27).
 """
 
 from __future__ import annotations
@@ -52,13 +59,14 @@ def build(small: bool):
     # convs need the extra rows to fill the chip.
     batch = int(os.environ.get("BENCH_BATCH", 2 if small else 128))
 
+    embedder = os.environ.get("BENCH_EMBEDDER", "yolox-nano")
     cli = [
         "--training-mode", "reinforce",
         "--dataset-dir", "/nonexistent",
         "--work-dir", "/tmp/bench_out",
         "--model-type", "gpt-nano",
-        "--image-processor", "yolox-nano",
-        "--gpt-backbone", "yolox-nano",
+        "--image-processor", embedder,
+        "--gpt-backbone", embedder,
         "--concat-embeddings",
         "--decoder-pos-encoding",
         "--use-positional-embedding",
@@ -93,8 +101,10 @@ def build(small: bool):
     return trainer, model, images, boxes, batch, max_ep_len, patch
 
 
-def bench_scan_rollout(trainer, images, boxes, iters: int) -> float:
-    """TPU-native path: full rollout inside one jitted lax.scan."""
+def bench_scan_rollout(trainer, images, boxes, iters: int):
+    """TPU-native path: full rollout inside one jitted lax.scan.
+
+    Returns (elapsed_seconds, flops_per_rollout_call or None)."""
     variables = trainer.eval_variables()
     from jolineedle_tpu.env.batched_env import NeedleEnv
 
@@ -117,6 +127,22 @@ def bench_scan_rollout(trainer, images, boxes, iters: int) -> float:
     # into one fetched accumulator makes the timing honest.
     float(rollout(variables, images_d, boxes_d, key)["rewards"].sum())
 
+    # FLOPs of ONE rollout dispatch from XLA's own cost model (the same
+    # machinery as utils/flops.py; counts matmul FLOPs as 2x MACs).
+    flops = None
+    try:
+        analysis = (
+            rollout.lower(variables, images_d, boxes_d, key)
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(analysis, list):
+            analysis = analysis[0] if analysis else None
+        if analysis:
+            flops = float(analysis.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     t0 = time.perf_counter()
     acc = jnp.zeros((), jnp.float32)
     for i in range(iters):
@@ -124,7 +150,27 @@ def bench_scan_rollout(trainer, images, boxes, iters: int) -> float:
         out = rollout(variables, images_d, boxes_d, key)
         acc = acc + out["rewards"].sum()
     float(acc)
-    return time.perf_counter() - t0
+    return time.perf_counter() - t0, flops
+
+
+def measure_peak_tflops(dtype=jnp.bfloat16, n: int = 4096, iters: int = 20):
+    """Measured large-matmul peak of the live chip — the MFU denominator.
+
+    Run live (not hardcoded): the tunneled runtime's throughput varies
+    between sessions, and quoting MFU against a stale peak would overstate
+    or understate utilization."""
+    if jax.default_backend() not in ("tpu",):
+        return None
+    x = jnp.ones((n, n), dtype)
+    f = jax.jit(lambda a: (a @ a).astype(jnp.float32).sum())
+    float(f(x))  # compile + warm
+    t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
+    for _ in range(iters):
+        acc = acc + f(x)
+    float(acc)
+    dt = time.perf_counter() - t0
+    return 2 * n**3 * iters / dt / 1e12
 
 
 def bench_reference_style_rollout(
@@ -231,22 +277,33 @@ def main():
     base_iters = max(1, min(2, iters // 5))
 
     trainer, model, images, boxes, batch, max_ep_len, patch = build(small)
+    embedder = os.environ.get("BENCH_EMBEDDER", "yolox-nano")
 
-    scan_time = bench_scan_rollout(trainer, images, boxes, iters)
+    scan_time, rollout_flops = bench_scan_rollout(trainer, images, boxes, iters)
     steps_per_sec = batch * max_ep_len * iters / scan_time
 
-    if os.environ.get("BENCH_SKIP_BASELINE", "") == "1":
-        print(
-            json.dumps(
-                {
-                    "metric": "glimpse env steps/sec/chip (gpt-nano+yolox-nano)",
-                    "value": round(steps_per_sec, 2),
-                    "unit": f"env steps/s (batch {batch}, ep_len {max_ep_len}, "
-                    f"patch {patch})",
-                    "vs_baseline": None,
-                }
-            )
+    # Utilization: achieved TFLOP/s over the measured bf16 matmul peak of
+    # the same chip in the same session.
+    result = {
+        "metric": f"glimpse env steps/sec/chip (gpt-nano+{embedder})",
+        "value": round(steps_per_sec, 2),
+        "unit": f"env steps/s (batch {batch}, ep_len {max_ep_len}, "
+        f"patch {patch})",
+        "vs_baseline": None,
+    }
+    if rollout_flops:
+        achieved = rollout_flops * iters / scan_time / 1e12
+        result["gflops_per_env_step"] = round(
+            rollout_flops / (batch * max_ep_len) / 1e9, 3
         )
+        result["tflops_per_sec"] = round(achieved, 2)
+        peak = measure_peak_tflops()
+        if peak:
+            result["peak_tflops_measured"] = round(peak, 1)
+            result["mfu_pct"] = round(100 * achieved / peak, 1)
+
+    if os.environ.get("BENCH_SKIP_BASELINE", "") == "1":
+        print(json.dumps(result))
         return
 
     base_steps = min(4, max_ep_len)
@@ -254,18 +311,8 @@ def main():
         trainer, model, images, boxes, base_iters, base_steps
     )
     ref_steps_per_sec = batch * base_steps * base_iters / ref_time
-
-    print(
-        json.dumps(
-            {
-                "metric": "glimpse env steps/sec/chip (gpt-nano+yolox-nano)",
-                "value": round(steps_per_sec, 2),
-                "unit": f"env steps/s (batch {batch}, ep_len {max_ep_len}, "
-                f"patch {patch})",
-                "vs_baseline": round(steps_per_sec / ref_steps_per_sec, 2),
-            }
-        )
-    )
+    result["vs_baseline"] = round(steps_per_sec / ref_steps_per_sec, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

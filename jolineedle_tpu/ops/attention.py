@@ -7,10 +7,18 @@ mask (reference: src/models/gpt.py:96-101). Here:
     used for tiny sequences (the needle decoder runs at T <= 33, where a
     custom kernel cannot beat XLA fusion) and as the numerical oracle.
   - ``flash_attention``: an online-softmax Pallas kernel that never
-    materializes T x T in HBM; used automatically when shapes are
-    tile-aligned (T multiple of the block, head_dim >= 128-lane friendly).
+    materializes T x T in HBM; dispatched where it measured faster than the
+    XLA path on the real chip (see ``causal_attention``).
 
 ``causal_attention`` dispatches between the two.
+
+Axon-runtime constraint (measured 2026-08-17): kernels using
+``pl.when``/``scratch_shapes``/3D-grid output revisiting hang the tunneled
+TPU terminal and wedge the chip for every subsequent program, so this kernel
+deliberately stays in the known-good shape — 2D grid, whole-K/V VMEM blocks,
+``fori_loop`` inner loop. That caps its win to the mid-T band where K/V fit
+comfortably in VMEM; the pipelined variant is blocked on the runtime, not on
+kernel design.
 """
 
 from __future__ import annotations
@@ -128,9 +136,20 @@ def flash_attention(
 
 
 def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """Dispatch: Pallas kernel when tile-aligned on TPU, jnp otherwise."""
+    """Dispatch: Pallas kernel where it measured faster than XLA, jnp else.
+
+    Measured on the real TPU v5e chip (scripts/bench_attention.py,
+    2026-08-17, bf16, 20-iter averages; full table in
+    docs/experiment_log.md): the kernel wins in the mid-T band
+    (T=512: 1.35x, T=1024: 1.20x over the XLA path) and loses outside it
+    (T=128 D=128: 0.54x; T>=2048: ~0.7x — the single-pass kernel holds all
+    of K/V in VMEM and streams nothing, while XLA pipelines HBM) and at
+    D=64 (0.05x — sub-lane tiles). The needle decoder itself runs at
+    T<=33 with head_dim 16-64, where XLA fusion is optimal — so this
+    dispatch only engages for tile-aligned LLM-scale uses of the op.
+    """
     t, d = q.shape[2], q.shape[3]
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and t % 128 == 0 and d % 128 == 0:
+    if on_tpu and t % 128 == 0 and d % 128 == 0 and 512 <= t <= 1024:
         return flash_attention(q, k, v)
     return causal_attention_reference(q, k, v)

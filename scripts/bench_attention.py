@@ -14,9 +14,12 @@ pass BENCH_ATTN_SMALL=1 to shrink the sweep for CPU smoke).
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jolineedle_tpu  # noqa: F401  (platform + compile cache)
 import jax
@@ -78,10 +81,20 @@ def main():
         )
         ref = jax.jit(causal_attention_reference)
 
-        # numerics
-        of = np.asarray(flash(q, k, v), np.float32)
-        orf = np.asarray(ref(q, k, v), np.float32)
-        err = np.max(np.abs(of - orf))
+        # numerics: compare on device, fetch one scalar (host transfers over
+        # the tunneled runtime take minutes for full tensors).
+        err_fn = jax.jit(
+            lambda q, k, v: jnp.max(
+                jnp.abs(
+                    flash_attention(
+                        q, k, v, block_q=block, block_k=block,
+                        interpret=interpret,
+                    ).astype(jnp.float32)
+                    - causal_attention_reference(q, k, v).astype(jnp.float32)
+                )
+            )
+        )
+        err = _sync(err_fn(q, k, v))
 
         tf = time_fn(flash, q, k, v)
         tr = time_fn(ref, q, k, v)
