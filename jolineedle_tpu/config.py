@@ -209,6 +209,30 @@ def get_args(args=None) -> argparse.Namespace:
         default="",
         help="If set, capture a jax.profiler trace of a few train steps here",
     )
+    # TPU-repo extension (the reference has no lr schedule; constant default
+    # keeps parity). Counts OPTIMIZER updates: divide train iterations by
+    # --gradient-accumulation when setting --lr-decay-iters.
+    parser.add_argument(
+        "--lr-schedule",
+        type=str,
+        default="constant",
+        choices=["constant", "cosine"],
+        help="Learning-rate schedule (cosine = linear warmup + cosine decay"
+        " to 5%% of peak; applies to both optimizers)",
+    )
+    parser.add_argument(
+        "--lr-warmup-iters",
+        type=int,
+        default=0,
+        help="Warmup optimizer updates for --lr-schedule cosine",
+    )
+    parser.add_argument(
+        "--lr-decay-iters",
+        type=int,
+        default=None,
+        help="Total decay horizon in optimizer updates"
+        " (default: --max-iters / --gradient-accumulation)",
+    )
 
     return parser.parse_args(args)
 
@@ -307,6 +331,13 @@ def args_to_config(args) -> tuple:
     train_config.max_det_patches = args.max_det_patches
     train_config.max_boxes = args.max_boxes
     train_config.profile_dir = args.profile_dir
+    train_config.lr_schedule = args.lr_schedule
+    train_config.lr_warmup_iters = args.lr_warmup_iters
+    train_config.lr_decay_iters = (
+        args.lr_decay_iters
+        if args.lr_decay_iters is not None
+        else max(1, args.max_iters // max(1, args.gradient_accumulation))
+    )
 
     model_config = get_default_model_config()
     model_config.model_type = args.model_type

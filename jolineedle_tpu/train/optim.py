@@ -62,9 +62,28 @@ def make_optimizer(
     detection_enabled: bool = True,
     clip_value: Optional[float] = None,
     weight_decay: float = 0.0,
+    lr_schedule: str = "constant",
+    lr_warmup_iters: int = 0,
+    lr_decay_iters: int = 1,
 ) -> optax.GradientTransformation:
+    """``lr_schedule="cosine"`` applies linear warmup + cosine decay to 5%
+    of peak, to BOTH optimizers (TPU-repo extension — the reference trains
+    at constant lr; schedule steps count optimizer updates, i.e. train
+    iterations / gradient_accumulation)."""
+
+    def scheduled(lr: float):
+        if lr_schedule == "cosine":
+            return optax.warmup_cosine_decay_schedule(
+                init_value=0.0 if lr_warmup_iters > 0 else lr,
+                peak_value=lr,
+                warmup_steps=max(0, lr_warmup_iters),
+                decay_steps=max(lr_decay_iters, lr_warmup_iters + 1),
+                end_value=0.05 * lr,
+            )
+        return lr
+
     adamw = lambda lr: optax.adamw(
-        lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
+        scheduled(lr), b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay
     )
     tx = optax.multi_transform(
         {

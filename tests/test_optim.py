@@ -59,6 +59,30 @@ def test_weight_decay_changes_updates(wd):
         )
 
 
+def test_cosine_lr_schedule_decays_updates():
+    """--lr-schedule cosine: update magnitude shrinks as the schedule
+    decays (checked through the optax transform on constant grads)."""
+    from jolineedle_tpu.train.optim import make_optimizer
+
+    params = _make_params()
+    tx = make_optimizer(
+        params,
+        learning_rate=1e-2,
+        yolo_lr=1e-3,
+        lr_schedule="cosine",
+        lr_warmup_iters=2,
+        lr_decay_iters=20,
+    )
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    mags = []
+    for _ in range(20):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        mags.append(float(jnp.abs(updates["wte"]["embedding"]).mean()))
+    assert mags[0] < mags[2]  # warmup ramps up
+    assert mags[-1] < 0.5 * max(mags)  # decay takes effect
+
+
 def test_trainer_wires_cli_weight_decay(tmp_path):
     """End-to-end: the CLI flag reaches the trainer's optax transform, and a
     resumed trainer re-applies the *current* CLI value (the reference's
