@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
@@ -42,6 +43,40 @@ import jax
 import jolineedle_tpu  # noqa: F401  (honor JAX_PLATFORMS + compile cache)
 
 import jax.numpy as jnp
+
+
+def _hang_watchdog(seconds: int = 420):
+    """Emit an error JSON line and hard-exit if the bench never completes.
+
+    A hung Pallas program can wedge the tunneled TPU terminal so that every
+    program (even a matmul) queues forever (docs/experiment_log.md
+    2026-08-17); without this, the driver's bench run would hang instead of
+    recording an honest failure. Disarm with BENCH_NO_WATCHDOG=1."""
+    if os.environ.get("BENCH_NO_WATCHDOG"):
+        return None
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "glimpse env steps/sec/chip"
+                    " (gpt-nano+yolox-nano)",
+                    "value": 0,
+                    "unit": "env steps/s (bench timed out)",
+                    "vs_baseline": None,
+                    "error": f"bench did not finish within {seconds}s —"
+                    " TPU terminal likely wedged (docs/experiment_log.md"
+                    " 2026-08-17 Pallas entry)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def build(small: bool):
@@ -276,6 +311,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 2 if small else 100))
     base_iters = max(1, min(2, iters // 5))
 
+    watchdog = _hang_watchdog(int(os.environ.get("BENCH_WATCHDOG_SECS", "900")))
     trainer, model, images, boxes, batch, max_ep_len, patch = build(small)
     embedder = os.environ.get("BENCH_EMBEDDER", "yolox-nano")
 
@@ -303,6 +339,8 @@ def main():
             result["mfu_pct"] = round(100 * achieved / peak, 1)
 
     if os.environ.get("BENCH_SKIP_BASELINE", "") == "1":
+        if watchdog is not None:
+            watchdog.cancel()
         print(json.dumps(result))
         return
 
@@ -312,6 +350,8 @@ def main():
     )
     ref_steps_per_sec = batch * base_steps * base_iters / ref_time
     result["vs_baseline"] = round(steps_per_sec / ref_steps_per_sec, 2)
+    if watchdog is not None:
+        watchdog.cancel()
     print(json.dumps(result))
 
 
