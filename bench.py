@@ -45,22 +45,29 @@ import jolineedle_tpu  # noqa: F401  (honor JAX_PLATFORMS + compile cache)
 import jax.numpy as jnp
 
 
-def _hang_watchdog(seconds: int = 420):
+WATCHDOG_DEFAULT_SECS = 2100
+
+
+def _hang_watchdog(seconds: int = WATCHDOG_DEFAULT_SECS):
     """Emit an error JSON line and hard-exit if the bench never completes.
 
     A hung Pallas program can wedge the tunneled TPU terminal so that every
     program (even a matmul) queues forever (docs/experiment_log.md
     2026-08-17); without this, the driver's bench run would hang instead of
-    recording an honest failure. Disarm with BENCH_NO_WATCHDOG=1."""
+    recording an honest failure. The default is 35 min — above a
+    cold-compile-cache run (~25 min when /tmp/jolineedle_jax_cache is
+    empty), below the ~40-min wedge-recovery horizon — so a healthy cold
+    run is never killed. Disarm with BENCH_NO_WATCHDOG=1."""
     if os.environ.get("BENCH_NO_WATCHDOG"):
         return None
 
     def fire():
+        embedder = os.environ.get("BENCH_EMBEDDER", "yolox-nano")
         print(
             json.dumps(
                 {
                     "metric": "glimpse env steps/sec/chip"
-                    " (gpt-nano+yolox-nano)",
+                    f" (gpt-nano+{embedder})",
                     "value": 0,
                     "unit": "env steps/s (bench timed out)",
                     "vs_baseline": None,
@@ -133,7 +140,7 @@ def build(small: bool):
             x = rng.integers(0, W - 80)
             y = rng.integers(0, H - 80)
             boxes[i, j] = [x, y, x + 64, y + 48]
-    return trainer, model, images, boxes, batch, max_ep_len, patch
+    return trainer, model, images, boxes, batch, max_ep_len, patch, embedder
 
 
 def bench_scan_rollout(trainer, images, boxes, iters: int):
@@ -311,9 +318,11 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 2 if small else 100))
     base_iters = max(1, min(2, iters // 5))
 
-    watchdog = _hang_watchdog(int(os.environ.get("BENCH_WATCHDOG_SECS", "900")))
-    trainer, model, images, boxes, batch, max_ep_len, patch = build(small)
-    embedder = os.environ.get("BENCH_EMBEDDER", "yolox-nano")
+    watchdog = _hang_watchdog(
+        int(os.environ.get("BENCH_WATCHDOG_SECS", str(WATCHDOG_DEFAULT_SECS)))
+    )
+    (trainer, model, images, boxes, batch, max_ep_len, patch,
+     embedder) = build(small)
 
     scan_time, rollout_flops = bench_scan_rollout(trainer, images, boxes, iters)
     steps_per_sec = batch * max_ep_len * iters / scan_time

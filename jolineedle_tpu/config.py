@@ -133,7 +133,13 @@ def get_args(args=None) -> argparse.Namespace:
 
     # Training configs
     parser.add_argument("--enable-stop", action="store_true")
-    parser.add_argument("--weight-decay", type=float, default=0.0)
+    # Default 0.01, NOT the reference's parsed 0.0: the reference's AdamW
+    # constructors omit weight_decay (src/models/gpt.py:552-560) so torch's
+    # 0.01 default ALWAYS applies there (its resume-time
+    # `optim.weight_decay = ...` sets a dead attribute, main.py:552-557).
+    # 0.01 is therefore the behavioral-parity default; the flag itself is
+    # live here (reference parses it but cannot act on it).
+    parser.add_argument("--weight-decay", type=float, default=0.01)
     parser.add_argument("--stop-weight", type=float, default=1.0)
     parser.add_argument(
         "--no-reward-norm", action="store_false", dest="reward_norm"

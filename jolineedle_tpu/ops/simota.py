@@ -78,18 +78,22 @@ def simota_assign(
 
     gt_xyxy = cxcywh_to_xyxy(gt_boxes)  # [G, 4]
     cx, cy = centers[:, 0], centers[:, 1]
+    # Strict inequalities: upstream forms edge deltas (center - edge) and
+    # tests ``deltas.min(-1) > 0``, so an anchor center exactly ON a box or
+    # center-region edge is OUTSIDE (matters for integer-pixel gt boxes whose
+    # edges land on (grid + 0.5) * stride).
     in_box = (
-        (cx[None, :] >= gt_xyxy[:, None, 0])
-        & (cx[None, :] <= gt_xyxy[:, None, 2])
-        & (cy[None, :] >= gt_xyxy[:, None, 1])
-        & (cy[None, :] <= gt_xyxy[:, None, 3])
+        (cx[None, :] > gt_xyxy[:, None, 0])
+        & (cx[None, :] < gt_xyxy[:, None, 2])
+        & (cy[None, :] > gt_xyxy[:, None, 1])
+        & (cy[None, :] < gt_xyxy[:, None, 3])
     )  # [G, A]
     r = CENTER_RADIUS * strides[None, :]
     in_center = (
-        (cx[None, :] >= gt_boxes[:, None, 0] - r)
-        & (cx[None, :] <= gt_boxes[:, None, 0] + r)
-        & (cy[None, :] >= gt_boxes[:, None, 1] - r)
-        & (cy[None, :] <= gt_boxes[:, None, 1] + r)
+        (cx[None, :] > gt_boxes[:, None, 0] - r)
+        & (cx[None, :] < gt_boxes[:, None, 0] + r)
+        & (cy[None, :] > gt_boxes[:, None, 1] - r)
+        & (cy[None, :] < gt_boxes[:, None, 1] + r)
     )
 
     candidate = (in_box | in_center) & gt_valid[:, None]

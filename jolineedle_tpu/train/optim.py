@@ -61,7 +61,7 @@ def make_optimizer(
     freeze_image_processor: bool = False,
     detection_enabled: bool = True,
     clip_value: Optional[float] = None,
-    weight_decay: float = 0.0,
+    weight_decay: float = 0.01,
     lr_schedule: str = "constant",
     lr_warmup_iters: int = 0,
     lr_decay_iters: int = 1,

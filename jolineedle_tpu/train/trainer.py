@@ -134,7 +134,7 @@ class Trainer:
             ),
             detection_enabled=cfg.detection_enabled,
             clip_value=1.0 if cfg.training_mode == "reinforce" else None,
-            weight_decay=getattr(cfg, "weight_decay", 0.0),
+            weight_decay=getattr(cfg, "weight_decay", 0.01),
             lr_schedule=getattr(cfg, "lr_schedule", "constant"),
             lr_warmup_iters=getattr(cfg, "lr_warmup_iters", 0),
             lr_decay_iters=getattr(cfg, "lr_decay_iters", 1),

@@ -37,12 +37,21 @@ def _sync(x):
 
 
 def time_fn(fn, *args, iters=20):
-    out = fn(*args)
-    _sync(out)
-    t0 = time.perf_counter()
+    # One jitted program per iteration: attention + reduce + accumulate all
+    # fused under jit, chained through `acc` so iterations can't overlap.
+    # No eager ops inside the timed region (on axon every eager op is a
+    # separate per-op RPC that would add constant overhead to both paths and
+    # compress speedup ratios at sub-millisecond shapes).
+    step = jax.jit(
+        lambda acc, *a: acc + fn(*a).astype(jnp.float32).sum()
+    )
     acc = jnp.zeros((), jnp.float32)
+    acc = step(acc, *args)  # warm-up / compile
+    _sync(acc)
+    acc = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
     for _ in range(iters):
-        acc = acc + fn(*args).sum()
+        acc = step(acc, *args)
     _sync(acc)
     return (time.perf_counter() - t0) / iters
 

@@ -138,3 +138,18 @@ def test_trainer_wires_cli_weight_decay(tmp_path):
         trainer_resumed.state.params,
     )
     assert _tree_max_abs(updates_r) > 0.0
+
+
+def test_default_weight_decay_matches_reference_effective_001():
+    """The behavioral-parity default is 0.01 (torch AdamW's default, which
+    the reference always applies because its constructors omit the arg —
+    reference: src/models/gpt.py:552-560), not the reference's parsed-but-
+    inert 0.0 (main.py:137-141)."""
+    from jolineedle_tpu.config import get_args, args_to_config
+
+    args = get_args(
+        ["--dataset-dir", "/tmp/x", "--training-mode", "supervised"]
+    )
+    assert args.weight_decay == 0.01
+    train_config, _ = args_to_config(args)
+    assert train_config.weight_decay == 0.01

@@ -250,3 +250,52 @@ def test_simota_assign_padded_gts_are_inert(seed):
     np.testing.assert_allclose(
         np.asarray(iou0)[fg], np.asarray(iou1)[fg], atol=1e-5
     )
+
+
+def test_simota_boundary_anchor_is_strictly_outside():
+    """Anchor centers landing exactly ON a gt-box / center-region edge are
+    OUTSIDE the candidate region: upstream forms edge deltas and tests
+    ``deltas.min(-1) > 0`` strictly. Crafted so an inclusive >=/<=
+    implementation admits the edge anchor (whose prediction is perfect, so
+    it would win the single dynamic-k slot) and diverges on fg_mask."""
+    from jolineedle_tpu.ops.simota import simota_assign
+
+    grids, strides = _make_grids(64, strides_levels=(8,))
+    A = len(grids)
+    nc = 1
+    # gt box [12, 52]^2: both the box edge and the 2.5-stride center-region
+    # edge land exactly on the stride-8 anchor-center column x = 12.
+    gt_boxes = np.array([[32.0, 32.0, 40.0, 40.0]])
+    gt_classes = np.zeros(1, np.int64)
+    centers = (grids + 0.5) * strides[:, None]
+
+    # Every anchor predicts a poor off-center box (iou ~ 0.02, so
+    # dynamic_k = 1)...
+    pred_boxes = np.concatenate([centers + 20.0, np.full((A, 2), 6.0)], 1)
+    # ...except the edge anchor at center (12, 28), which predicts the gt
+    # exactly: lowest cost, matched iff it is admitted as a candidate.
+    b = int(np.where((centers[:, 0] == 12.0) & (centers[:, 1] == 28.0))[0][0])
+    pred_boxes[b] = gt_boxes[0]
+    obj_logits = np.zeros(A)
+    cls_logits = np.zeros((A, nc))
+
+    ref_fg, ref_gt, ref_iou = upstream_simota(
+        pred_boxes, obj_logits, cls_logits, gt_boxes, gt_classes, grids,
+        strides,
+    )
+    assert not ref_fg[b], "strict semantics must exclude the edge anchor"
+    assert ref_fg.sum() == 1
+
+    fg, mgt, miou = jax.jit(simota_assign)(
+        jnp.asarray(pred_boxes, jnp.float32),
+        jnp.asarray(obj_logits, jnp.float32),
+        jnp.asarray(cls_logits, jnp.float32),
+        jnp.asarray(gt_boxes, jnp.float32),
+        jnp.asarray(gt_classes, jnp.int32),
+        jnp.ones(1, bool),
+        jnp.asarray(grids, jnp.float32),
+        jnp.asarray(strides, jnp.float32),
+    )
+    fg = np.asarray(fg)
+    np.testing.assert_array_equal(fg, ref_fg)
+    np.testing.assert_array_equal(np.asarray(mgt)[fg], ref_gt[fg])
