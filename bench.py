@@ -93,7 +93,11 @@ def build(small: bool):
     from jolineedle_tpu.train.reinforce import ReinforceTrainer
 
     patch = 64 if small else 448
-    grid = 2 if small else 6  # LARD images are ~2448x2648 -> 6x6 448px grid
+    # LARD images are ~2448x2648 -> 6x6 448px grid. BENCH_GRID shrinks the
+    # per-image grid (and thus the resident uint8 image pool in HBM) while
+    # keeping per-step compute identical (patches are patch² regardless) —
+    # the control knob for isolating HBM pressure in the batch-size sweep.
+    grid = int(os.environ.get("BENCH_GRID", 2 if small else 6))
     max_ep_len = int(os.environ.get("BENCH_STEPS", 4 if small else 20))
     # Batch 128 ≈ the single-chip throughput knee (measured 2026-08-16 with
     # uint8 image storage: 6.4k steps/s @64, 14.9k @128 twice, 11.5k @256);
@@ -333,7 +337,7 @@ def main():
         "metric": f"glimpse env steps/sec/chip (gpt-nano+{embedder})",
         "value": round(steps_per_sec, 2),
         "unit": f"env steps/s (batch {batch}, ep_len {max_ep_len}, "
-        f"patch {patch})",
+        f"patch {patch}, grid {images.shape[1] // patch})",
         "vs_baseline": None,
     }
     if rollout_flops:

@@ -136,20 +136,23 @@ def flash_attention(
 
 
 def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """Dispatch: Pallas kernel where it measured faster than XLA, jnp else.
+    """Dispatch: the XLA path, everywhere — a measured decision.
 
-    Measured on the real TPU v5e chip (scripts/bench_attention.py,
-    2026-08-17, bf16, 20-iter averages; full table in
-    docs/experiment_log.md): the kernel wins in the mid-T band
-    (T=512: 1.35x, T=1024: 1.20x over the XLA path) and loses outside it
-    (T=128 D=128: 0.54x; T>=2048: ~0.7x — the single-pass kernel holds all
-    of K/V in VMEM and streams nothing, while XLA pipelines HBM) and at
-    D=64 (0.05x — sub-lane tiles). The needle decoder itself runs at
-    T<=33 with head_dim 16-64, where XLA fusion is optimal — so this
-    dispatch only engages for tile-aligned LLM-scale uses of the op.
+    Measured on the real TPU v5e chip (scripts/bench_attention.py, bf16).
+    An earlier 20-iter sweep (2026-08-17) suggested the Pallas kernel won a
+    mid-T band (T=512-1024, D=128); that timing loop chained eager per-op
+    RPCs through the tunneled runtime, inflating the XLA cells. The
+    corrected harness (one jitted program per iteration) at 1000 iters per
+    cell, twice, is stable and reverses it: XLA wins every tested shape —
+    T=512: 0.72x/0.79x, T=1024: 0.72x/0.72x, T=2048: 0.69x, T=4096: 0.71x
+    (flash/XLA time ratio; T=128 cells are sub-ms dispatch noise). The
+    single-pass kernel (the only Pallas shape the axon runtime executes
+    without wedging — docs/experiment_log.md) holds all of K/V in VMEM and
+    streams nothing, while XLA pipelines HBM; beating XLA needs the
+    pipelined 3D-grid/scratch flash variant, which hangs this runtime.
+
+    The needle decoder itself runs at T<=33 with head_dim 16-64, where XLA
+    fusion is optimal regardless. ``flash_attention`` stays available and
+    correctness-tested for explicit use.
     """
-    t, d = q.shape[2], q.shape[3]
-    on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and t % 128 == 0 and d % 128 == 0 and 512 <= t <= 1024:
-        return flash_attention(q, k, v)
     return causal_attention_reference(q, k, v)

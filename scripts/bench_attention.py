@@ -36,7 +36,12 @@ def _sync(x):
     return float(jnp.asarray(x).sum())
 
 
-def time_fn(fn, *args, iters=20):
+def time_fn(fn, *args, iters=None):
+    if iters is None:
+        # 20 for CPU smoke; on the real chip the tunneled runtime's
+        # throughput jitters up to 4x between runs (CLAUDE.md), so decision
+        # measurements need seconds of accumulated work per cell + repeats.
+        iters = int(os.environ.get("BENCH_ATTN_ITERS", "20"))
     # One jitted program per iteration: attention + reduce + accumulate all
     # fused under jit, chained through `acc` so iterations can't overlap.
     # No eager ops inside the timed region (on axon every eager op is a

@@ -31,8 +31,10 @@ def test_flash_attention_matches_reference():
 
 def test_flash_attention_compiled_on_tpu():
     """Compiled-on-device flash attention vs the XLA path (runs only when a
-    real TPU backend is live; interpret-mode coverage is above). Uses the
-    dispatch band where the kernel is actually selected (T=512, D=128)."""
+    real TPU backend is live; interpret-mode coverage is above). The kernel
+    is no longer auto-dispatched (XLA measured faster at every shape —
+    ops/attention.py::causal_attention docstring) but stays available for
+    explicit use, so its on-device numerics stay pinned here."""
     import pytest
 
     if jax.default_backend() != "tpu":
