@@ -153,70 +153,94 @@ def bench_scan_rollout(trainer, images, boxes, iters: int):
     Returns (elapsed_seconds, flops_per_rollout_call or None)."""
     variables = trainer.eval_variables()
     from jolineedle_tpu.env.batched_env import NeedleEnv
+    from jolineedle_tpu.utils.flops import traced_flops
 
     cfg = trainer.config
 
-    @jax.jit
-    def rollout(variables, images, boxes, key):
+    def rollout_body(variables, images, boxes, key):
         env = NeedleEnv(
             images, boxes, cfg.patch_size, trainer.max_ep_len, 1,
             trainer.stop_enabled,
         )
         return trainer._rollout_scan(variables, env, key, sample=True)
 
+    # One jitted program per iteration — rollout + reward reduction +
+    # accumulate fused under jit, chained through ``acc``. No eager ops in
+    # the timed region (on the tunneled runtime every eager op is a per-op
+    # RPC), and the chaining keeps the lazy dispatcher honest: the final
+    # scalar fetch transitively forces every iteration.
+    @jax.jit
+    def rollout_acc(acc, variables, images, boxes, key, i):
+        out = rollout_body(
+            variables, images, boxes, jax.random.fold_in(key, i)
+        )
+        return acc + out["rewards"].astype(jnp.float32).sum()
+
     images_d = jnp.asarray(images)
     boxes_d = jnp.asarray(boxes)
     key = jax.random.PRNGKey(0)
-    # Force execution with a host fetch of a scalar: on the tunneled-TPU
-    # runtime ``block_until_ready`` resolves before execution, and unneeded
-    # programs may be evaluated lazily — chaining every rollout's rewards
-    # into one fetched accumulator makes the timing honest.
-    float(rollout(variables, images_d, boxes_d, key)["rewards"].sum())
+    acc = jnp.zeros((), jnp.float32)
+    acc = rollout_acc(acc, variables, images_d, boxes_d, key, -1)
+    float(acc)  # compile + warm; scalar fetch forces execution
 
-    # FLOPs of ONE rollout dispatch from XLA's own cost model (the same
-    # machinery as utils/flops.py; counts matmul FLOPs as 2x MACs).
+    # FLOPs of ONE rollout dispatch, counted analytically from the traced
+    # jaxpr (NOT compile().cost_analysis(): on the TPU backend the latter
+    # multiplied the lax.scan body by its trip count for the yolox-nano
+    # rollout program but not for the yolox-s one — a 20x understatement;
+    # docs/experiment_log.md 2026-08-17 MFU correction).
     flops = None
     try:
-        analysis = (
-            rollout.lower(variables, images_d, boxes_d, key)
-            .compile()
-            .cost_analysis()
-        )
-        if isinstance(analysis, list):
-            analysis = analysis[0] if analysis else None
-        if analysis:
-            flops = float(analysis.get("flops", 0.0)) or None
+        flops = traced_flops(
+            rollout_body, variables, images_d, boxes_d, key
+        ) or None
     except Exception:
         pass
 
     t0 = time.perf_counter()
     acc = jnp.zeros((), jnp.float32)
     for i in range(iters):
-        key = jax.random.fold_in(key, i)
-        out = rollout(variables, images_d, boxes_d, key)
-        acc = acc + out["rewards"].sum()
+        acc = rollout_acc(acc, variables, images_d, boxes_d, key, i)
     float(acc)
     return time.perf_counter() - t0, flops
 
 
-def measure_peak_tflops(dtype=jnp.bfloat16, n: int = 4096, iters: int = 20):
+def measure_peak_tflops(
+    dtype=jnp.bfloat16, n: int = 8192, iters: int = 10, inner: int = 8
+):
     """Measured large-matmul peak of the live chip — the MFU denominator.
 
     Run live (not hardcoded): the tunneled runtime's throughput varies
     between sessions, and quoting MFU against a stale peak would overstate
-    or understate utilization."""
+    or understate utilization. ``inner`` chained matmuls run inside ONE
+    jitted program and the accumulator threads through jit across
+    dispatches — zero eager ops, so tunnel RPC overhead cannot deflate the
+    measurement (an earlier eager-accumulate version read 6 TF/s on a chip
+    whose true peak is ~150). Total work ≈ 2·n³·inner·iters ≈ 88 TF ≈ 0.6 s
+    of device time at peak."""
     if jax.default_backend() not in ("tpu",):
         return None
-    x = jnp.ones((n, n), dtype)
-    f = jax.jit(lambda a: (a @ a).astype(jnp.float32).sum())
-    float(f(x))  # compile + warm
-    t0 = time.perf_counter()
+    key = jax.random.PRNGKey(0)
+    # Unit-variance chain: scale by 1/sqrt(n) so repeated products neither
+    # overflow nor denormal-underflow in bf16.
+    x = (jax.random.normal(key, (n, n), dtype) / np.sqrt(n)).astype(dtype)
+
+    @jax.jit
+    def step(acc, a):
+        y = a
+        for _ in range(inner):
+            y = (y @ a).astype(dtype)
+        return acc + y.astype(jnp.float32).sum()
+
     acc = jnp.zeros((), jnp.float32)
+    acc = step(acc, x)
+    float(acc)  # compile + warm
+    acc = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
     for _ in range(iters):
-        acc = acc + f(x)
+        acc = step(acc, x)
     float(acc)
     dt = time.perf_counter() - t0
-    return 2 * n**3 * iters / dt / 1e12
+    return 2 * n**3 * inner * iters / dt / 1e12
 
 
 def bench_reference_style_rollout(

@@ -37,6 +37,73 @@ def count_params(tree) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
 
 
+def _prod(xs) -> float:
+    out = 1.0
+    for x in xs:
+        out *= x
+    return out
+
+
+def jaxpr_flops(jaxpr) -> float:
+    """Matmul/conv FLOPs of a jaxpr, counted analytically from shapes.
+
+    Unlike ``compile().cost_analysis()`` this is platform-independent and
+    handles ``lax.scan`` trip counts explicitly (observed on the TPU
+    backend: cost_analysis multiplied the scan body by its length for one
+    rollout program but not for another — docs/experiment_log.md
+    2026-08-17 MFU correction). Counts 2*MACs for ``dot_general`` and
+    ``conv_general_dilated``; recurses into scan (×length), while (×1,
+    trip count unknowable), cond (max over branches), and any other
+    jaxpr-carrying call primitive (pjit, remat, custom_jvp, ...).
+    Elementwise FLOPs are ignored — they are noise at model scale.
+    """
+    total = 0.0
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        if prim == "dot_general":
+            (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+            lhs = eqn.invars[0].aval.shape
+            rhs = eqn.invars[1].aval.shape
+            k = _prod(lhs[i] for i in lc)
+            b = _prod(lhs[i] for i in lb)
+            m = _prod(
+                d for i, d in enumerate(lhs) if i not in set(lc) | set(lb)
+            )
+            n = _prod(
+                d for i, d in enumerate(rhs) if i not in set(rc) | set(rb)
+            )
+            total += 2.0 * b * m * n * k
+        elif prim == "conv_general_dilated":
+            out = eqn.outvars[0].aval.shape
+            ker = eqn.invars[1].aval.shape
+            dn = eqn.params["dimension_numbers"]
+            out_c = ker[dn.rhs_spec[0]]
+            # prod(ker) = out_c * (in_c / groups) * spatial window; dividing
+            # out_c back out leaves the per-output-element MAC count.
+            total += 2.0 * _prod(out) * _prod(ker) / out_c
+        elif prim == "scan":
+            total += eqn.params["length"] * jaxpr_flops(
+                eqn.params["jaxpr"].jaxpr
+            )
+        elif prim == "while":
+            total += jaxpr_flops(eqn.params["body_jaxpr"].jaxpr)
+        elif prim == "cond":
+            total += max(
+                jaxpr_flops(br.jaxpr) for br in eqn.params["branches"]
+            )
+        else:
+            for v in eqn.params.values():
+                inner = getattr(v, "jaxpr", None)
+                if inner is not None and hasattr(inner, "eqns"):
+                    total += jaxpr_flops(inner)
+    return total
+
+
+def traced_flops(fn, *args) -> float:
+    """``jaxpr_flops`` of ``fn`` traced at the given example arguments."""
+    return jaxpr_flops(jax.make_jaxpr(fn)(*args).jaxpr)
+
+
 def measure_flops(trainer, model_config, train_config):
     """Print the same report shape as the reference (main.py:452-529).
 
