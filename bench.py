@@ -18,10 +18,11 @@ src/env/general_env.py:285-306) and syncs host<->device every step
 whole rollout — KV-cache decode, sampling, env step — inside one
 ``lax.scan`` (jolineedle_tpu/train/reinforce.py).
 
-Besides steps/s, the JSON line reports utilization: FLOPs per rollout from
-XLA cost analysis, achieved TFLOP/s, the measured bf16 matmul peak of the
-same chip, and MFU — see docs/experiment_log.md "single-chip utilization"
-for the roofline analysis of why nano-scale depthwise convs cap MFU.
+Besides steps/s, the JSON line reports utilization: FLOPs per rollout
+counted analytically from the traced jaxpr (utils/flops.py::jaxpr_flops),
+achieved TFLOP/s, the live-measured bf16 matmul peak of the same chip, and
+MFU — see docs/experiment_log.md "MFU re-measured" for the sweep and the
+roofline analysis of why yolox-nano's channel widths cap MFU at 14.5%.
 
 Env knobs: BENCH_SMALL=1 shrinks shapes for CPU smoke runs;
 BENCH_BATCH/BENCH_STEPS/BENCH_ITERS override sizes; BENCH_EMBEDDER picks
@@ -99,10 +100,10 @@ def build(small: bool):
     # the control knob for isolating HBM pressure in the batch-size sweep.
     grid = int(os.environ.get("BENCH_GRID", 2 if small else 6))
     max_ep_len = int(os.environ.get("BENCH_STEPS", 4 if small else 20))
-    # Batch 128 ≈ the single-chip throughput knee (measured 2026-08-16 with
-    # uint8 image storage: 6.4k steps/s @64, 14.9k @128 twice, 11.5k @256);
-    # the rollout is utilization-bound below that — nano-scale depthwise
-    # convs need the extra rows to fill the chip.
+    # Throughput saturates at batch >=128 (~14k steps/s @128 and @256 with
+    # honest timing, superlinear 64->128 scaling — 2026-08-17 sweep in
+    # docs/experiment_log.md); 128 is the smallest saturating batch, so it
+    # is the default (smallest HBM footprint at peak throughput).
     batch = int(os.environ.get("BENCH_BATCH", 2 if small else 128))
 
     embedder = os.environ.get("BENCH_EMBEDDER", "yolox-nano")
@@ -196,12 +197,23 @@ def bench_scan_rollout(trainer, images, boxes, iters: int):
     except Exception:
         pass
 
+    # BENCH_PROFILE_DIR captures a jax.profiler trace of the timed loop —
+    # the tool for root-causing throughput knees (e.g. the batch-256
+    # regression, docs/experiment_log.md). Adds tracing overhead: do not
+    # quote steps/s from a profiled run.
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     t0 = time.perf_counter()
     acc = jnp.zeros((), jnp.float32)
     for i in range(iters):
         acc = rollout_acc(acc, variables, images_d, boxes_d, key, i)
     float(acc)
-    return time.perf_counter() - t0, flops
+    elapsed = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+    return elapsed, flops
 
 
 def measure_peak_tflops(

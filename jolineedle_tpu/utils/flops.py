@@ -1,9 +1,12 @@
-"""FLOPs / parameter measurement via XLA cost analysis.
+"""FLOPs / parameter measurement.
 
 Replaces the reference's thop-based ``--measure-flops`` path (reference:
 main.py:452-529): reports backbone / detector / full-model FLOPs at several
-sequence lengths and for a full 8x-patch image, plus parameter counts, using
-``jax.jit(...).lower().compile().cost_analysis()``.
+sequence lengths and for a full 8x-patch image, plus parameter counts.
+FLOPs are counted analytically from the traced jaxpr (``jaxpr_flops``) —
+XLA's ``compile().cost_analysis()`` proved unreliable (scan trip-count
+inconsistency on TPU, 4x conv under-count on CPU; docs/experiment_log.md
+2026-08-17 MFU correction) and is kept only as a fallback.
 """
 
 from __future__ import annotations
@@ -24,6 +27,11 @@ def _pretty(n: float) -> str:
 
 
 def _flops(fn, *args) -> float:
+    try:
+        return traced_flops(fn, *args)
+    except Exception:
+        pass
+    # Fallback: XLA's own cost model (platform-dependent, see module doc).
     compiled = jax.jit(fn).lower(*args).compile()
     analysis = compiled.cost_analysis()
     if isinstance(analysis, list):
@@ -141,7 +149,12 @@ def measure_flops(trainer, model_config, train_config):
     gpt_params = count_params(
         {k: v for k, v in variables["params"].items() if k != "yolox"}
     )
+    # The reference iterates this fixed list unconditionally
+    # (main.py:452-529); cap at block_size so small --max-seq-len configs
+    # don't trip the decoder's sequence-length assert.
     for seq_len in [1, 2, 4, 8, 16]:
+        if seq_len > model_config.block_size:
+            break
         patches = jnp.zeros((b, seq_len, P, P, nc))
         actions = jnp.zeros((b, seq_len), jnp.int32)
         positions = jnp.zeros((b, seq_len, 2), jnp.int32)
