@@ -35,11 +35,21 @@ def load_checkpoint(path, target: Any) -> Any:
 
 
 def load_params_only(path, target_state: Any) -> Any:
-    """Restore only model params/batch_stats (e.g. best-ckpt revalidation,
-    reference: src/trainer.py:138-165)."""
-    restored = load_checkpoint(path, target_state)
+    """Restore only model params/batch_stats (best-ckpt revalidation,
+    reference: src/trainer.py:138-165, and ``--init-from`` warm starts).
+
+    Deserializes the raw msgpack tree and grafts just the model subtrees,
+    so the checkpoint's optimizer state need NOT match ``target_state``'s —
+    the two training modes wrap their optax chains differently."""
+    with open(Path(path), "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
     return target_state.replace(
-        params=restored.params, batch_stats=restored.batch_stats
+        params=serialization.from_state_dict(
+            target_state.params, raw["params"]
+        ),
+        batch_stats=serialization.from_state_dict(
+            target_state.batch_stats, raw["batch_stats"]
+        ),
     )
 
 

@@ -179,6 +179,12 @@ def get_args(args=None) -> argparse.Namespace:
     parser.add_argument("--failure-select-rate", type=float, default=0.1)
     parser.add_argument("--eval-training-set", action="store_true")
     parser.add_argument("--resume-training", type=str, required=False)
+    # TPU-rebuild extension (not in the reference CLI): warm-start model
+    # params/batch-stats from another run's checkpoint with FRESH optimizer
+    # state — the cross-mode path (e.g. REINFORCE fine-tuning of a
+    # supervised policy), where --resume-training cannot apply because the
+    # two modes' optimizer pytrees differ (clip/MultiSteps wrappers).
+    parser.add_argument("--init-from", type=str, required=False)
     parser.add_argument("--detection-checkpoint", type=str)
     parser.add_argument("--dataset-dir", type=Path, required=True)
     parser.add_argument("--seed", type=int, default=0)
@@ -297,6 +303,7 @@ def args_to_config(args) -> tuple:
     train_config.failure_select_rate = args.failure_select_rate
     train_config.eval_training_set = args.eval_training_set
     train_config.resume_training = args.resume_training
+    train_config.init_from = args.init_from
     train_config.detection_checkpoint = args.detection_checkpoint
     train_config.merge_bboxes = args.merge_bboxes
     train_config.seed = args.seed

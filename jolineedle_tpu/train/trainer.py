@@ -185,6 +185,19 @@ class Trainer:
         self.state = ckpt.load_checkpoint(Path(directory) / name, self.state)
         self.state = replicate(self.mesh, self.state)
 
+    def load_params_checkpoint(self, directory):
+        """Warm-start: restore only model params/batch-stats from another
+        run's checkpoint (best if present, else last), keeping THIS
+        trainer's fresh optimizer state and step counter. Used by
+        ``--init-from`` for cross-mode fine-tuning (e.g. REINFORCE from a
+        supervised policy), where the optimizer pytrees differ and a full
+        ``--resume-training`` restore cannot apply."""
+        best = Path(directory) / ckpt.CKPT_BEST
+        path = best if best.exists() else Path(directory) / ckpt.CKPT_LAST
+        print("Warm-starting params from", path)
+        self.state = ckpt.load_params_only(path, self.state)
+        self.state = replicate(self.mesh, self.state)
+
     def load_detection_checkpoint(self, path):
         self.state = ckpt.load_detection_params(path, self.state)
         self.state = replicate(self.mesh, self.state)

@@ -92,6 +92,14 @@ def launch_training(train_config, model_config, dataset_dir):
     else:
         raise ValueError(f"Unknown training mode: {train_config.training_mode}")
 
+    if train_config.init_from is not None:
+        if train_config.resume_training is not None:
+            raise ValueError(
+                "--init-from (params-only warm start) and --resume-training"
+                " (full-state restore) are mutually exclusive"
+            )
+        trainer.load_params_checkpoint(train_config.init_from)
+
     if train_config.resume_training is not None:
         print("Resuming from", train_config.resume_training)
         trainer.load_checkpoint(train_config.resume_training)

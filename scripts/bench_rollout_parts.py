@@ -1,0 +1,147 @@
+"""Decompose one rollout scan-step into its parts on the live chip.
+
+Answers "where does the residual time below the roofline ceiling go?"
+(docs/experiment_log.md MFU correction): times, in isolation,
+
+  - ``embed``:  GPT.embed_patches on a [B, P, P, 3] patch batch — the
+    yolox backbone+FPN embedder, ~96% of modeled FLOPs;
+  - ``decode``: GPT.decode_step — embed + one KV-cache transformer step;
+  - ``env``:    NeedleEnv.masked_step — uint8 patch gather + normalize +
+    visited/reward/termination logic;
+  - ``scan20``: the full 20-step rollout (bench.py's measured quantity),
+    reported per scan step.
+
+Each part runs as ONE jitted program per iteration with an accumulator
+threaded through jit (no eager ops in the timed region — tunnel RPCs would
+otherwise contaminate the timing; same harness as bench.py).
+
+Usage: python scripts/bench_rollout_parts.py  [BENCH_PARTS_ITERS=100]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jolineedle_tpu  # noqa: F401  (JAX_PLATFORMS + compile cache)
+
+import jax
+import jax.numpy as jnp
+
+from bench import build  # reuse the headline config assembly
+
+from jolineedle_tpu.env.batched_env import NeedleEnv
+from jolineedle_tpu.models.gpt import GPT
+
+
+def timed(label, make_step, iters):
+    """make_step() -> (step_fn(acc, i) -> acc). Returns seconds/iter."""
+    step = make_step()
+    acc = jnp.zeros((), jnp.float32)
+    acc = step(acc, -1)
+    float(acc)  # compile + warm
+    acc = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        acc = step(acc, i)
+    float(acc)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{label:8s} {dt * 1e3:9.3f} ms/iter", flush=True)
+    return dt
+
+
+def main():
+    iters = int(os.environ.get("BENCH_PARTS_ITERS", "100"))
+    trainer, model, images, boxes, batch, max_ep_len, patch, embedder = build(
+        small=os.environ.get("BENCH_SMALL", "") == "1"
+    )
+    variables = trainer.eval_variables()
+    cfg = trainer.config
+    images_d = jnp.asarray(images)
+    boxes_d = jnp.asarray(boxes)
+    key = jax.random.PRNGKey(0)
+
+    def env_of():
+        return NeedleEnv(
+            images_d, boxes_d, cfg.patch_size, trainer.max_ep_len, 1,
+            trainer.stop_enabled,
+        )
+
+    # Device-resident fixtures shared by the part benches.
+    state0, patches0, _ = env_of().reset(key=key)
+    classes = jnp.zeros((batch,), jnp.int32)
+    cache0 = model.apply(variables, classes, method=GPT.init_cache)
+    actions0 = jnp.zeros((batch,), jnp.int32)
+
+    results = {}
+
+    def make_embed():
+        @jax.jit
+        def step(acc, i):
+            p = patches0 + jnp.zeros((), patches0.dtype) * i
+            emb = model.apply(variables, p, method=GPT.embed_patches)
+            return acc + emb.astype(jnp.float32).sum()
+
+        return step
+
+    results["embed_ms"] = timed("embed", make_embed, iters) * 1e3
+
+    def make_decode():
+        @jax.jit
+        def step(acc, i):
+            logits, _ = model.apply(
+                variables, cache0, patches0[:, 0], actions0,
+                state0.positions, jnp.asarray(i * 0, jnp.int32),
+                method=GPT.decode_step,
+            )
+            return acc + logits.astype(jnp.float32).sum()
+
+        return step
+
+    results["decode_ms"] = timed("decode", make_decode, iters) * 1e3
+
+    def make_env():
+        @jax.jit
+        def step(acc, i):
+            env = env_of()
+            st, patches, rewards, term, _, _ = env.masked_step(
+                state0, jnp.mod(jnp.asarray(i, jnp.int32), 8) + actions0,
+                jnp.zeros((batch,), bool),
+            )
+            return (
+                acc
+                + patches.astype(jnp.float32).sum()
+                + rewards.astype(jnp.float32).sum()
+            )
+
+        return step
+
+    results["env_ms"] = timed("env", make_env, iters) * 1e3
+
+    def make_scan():
+        @jax.jit
+        def step(acc, i):
+            out = trainer._rollout_scan(
+                variables, env_of(), jax.random.fold_in(key, i), sample=True
+            )
+            return acc + out["rewards"].astype(jnp.float32).sum()
+
+        return step
+
+    scan_iters = max(1, iters // 5)
+    results["scan_step_ms"] = (
+        timed("scan20", make_scan, scan_iters) / max_ep_len * 1e3
+    )
+    results["batch"] = batch
+    results["embedder"] = embedder
+    results["sum_parts_ms"] = results["decode_ms"] + results["env_ms"]
+    print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                      for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -83,16 +83,24 @@ def test_sharded_step_matches_single_device():
 
     # Aggregate parameter agreement. Per-coordinate comparison after an Adam
     # step is ill-posed (float reduction order flips the sign of near-zero
-    # gradients, and Adam then maps any sign to a +-lr update), so compare
-    # leaf-wise relative distances instead.
+    # gradients, and Adam then maps any sign to a +-lr update), so a leaf
+    # passes if EITHER its relative distance is small (weights with real
+    # norm) OR its per-coordinate RMS difference is within a few Adam step
+    # sizes (zero-init BatchNorm biases: after 2 steps each coordinate sits
+    # at ~+-2lr, and a single sign flip moves it by up to 4lr — relative
+    # distance is meaningless there while 0.16 rel is ~1 flipped step).
+    lr = 1e-4  # --lr default; this config doesn't override it
     l1 = jax.tree_util.tree_leaves(jax.device_get(s1.params))
     l8 = jax.tree_util.tree_leaves(jax.device_get(s8.params))
     assert len(l1) == len(l8)
     sq_diff = sq_norm = 0.0
     for a, b in zip(l1, l8):
-        denom = max(float(np.linalg.norm(a)), 1e-6)
-        rel = float(np.linalg.norm(np.asarray(a) - np.asarray(b))) / denom
-        assert rel < 2e-2, f"param leaf diverged: rel distance {rel}"
-        sq_diff += float(((np.asarray(a) - np.asarray(b)) ** 2).sum())
+        diff = np.asarray(a) - np.asarray(b)
+        rel = float(np.linalg.norm(diff)) / max(float(np.linalg.norm(a)), 1e-6)
+        rms = float(np.linalg.norm(diff)) / np.sqrt(diff.size)
+        assert rel < 2e-2 or rms < 4 * lr, (
+            f"param leaf diverged: rel {rel}, rms {rms}"
+        )
+        sq_diff += float((diff**2).sum())
         sq_norm += float((np.asarray(a) ** 2).sum())
     assert (sq_diff / sq_norm) ** 0.5 < 1e-3, "global param divergence"
