@@ -310,8 +310,18 @@ def bench_reference_style_rollout(
             ).sum()
         )
 
+    # Time-floor measurement: the tunneled runtime's throughput jitters up
+    # to 4x between short windows, so 2 fixed iterations made vs_baseline
+    # noisy (round-1 verdict). Keep iterating until ``min_seconds`` of
+    # measured work (and at least ``iters``), so both sides of the ratio
+    # average over a >=20 s window.
+    min_seconds = float(os.environ.get("BENCH_BASELINE_MIN_S", 0 if iters <= 1 else 20))
+    done = 0
     t0 = time.perf_counter()
-    for _ in range(iters):
+    while done < iters or (
+        time.perf_counter() - t0 < min_seconds and done < 20 * iters
+    ):
+        done += 1
         positions = np.stack(
             [rng.integers(0, nv, B), rng.integers(0, nh, B)], axis=1
         ).astype(np.int32)
@@ -347,7 +357,7 @@ def bench_reference_style_rollout(
             patches = np.concatenate([patches, new_patches[:, None]], axis=1)
             actions = np.concatenate([actions, act[:, None]], axis=1)
             pos_hist = np.concatenate([pos_hist, positions[:, None]], axis=1)
-    return time.perf_counter() - t0
+    return time.perf_counter() - t0, done
 
 
 def main():
@@ -394,11 +404,16 @@ def main():
         return
 
     base_steps = min(4, max_ep_len)
-    ref_time = bench_reference_style_rollout(
+    ref_time, ref_iters = bench_reference_style_rollout(
         trainer, model, images, boxes, base_iters, base_steps
     )
-    ref_steps_per_sec = batch * base_steps * base_iters / ref_time
-    result["vs_baseline"] = round(steps_per_sec / ref_steps_per_sec, 2)
+    ref_steps_per_sec = batch * base_steps * ref_iters / ref_time
+    # 2 significant figures: quoting a jittery ratio to 4 overstated the
+    # measurement's precision (round-1 verdict).
+    ratio = steps_per_sec / ref_steps_per_sec
+    result["vs_baseline"] = float(f"{ratio:.2g}")
+    result["baseline_env_steps_per_sec"] = round(ref_steps_per_sec, 1)
+    result["baseline_window_s"] = round(ref_time, 1)
     if watchdog is not None:
         watchdog.cancel()
     print(json.dumps(result))
