@@ -177,8 +177,15 @@ def bench_scan_rollout(trainer, images, boxes, iters: int):
         )
         return acc + out["rewards"].astype(jnp.float32).sum()
 
-    images_d = jnp.asarray(images)
-    boxes_d = jnp.asarray(boxes)
+    # Generate the device-resident image pool ON DEVICE. Transferring the
+    # multi-GB host pool over the tunnel can take >20 min on a bad day, and
+    # killing the client mid-transfer wedges the chip (every later program
+    # queues forever). Pixel content is irrelevant to throughput; shape and
+    # dtype match the host pool the baseline emulation gathers from.
+    images_d = jax.jit(
+        lambda k: jax.random.randint(k, images.shape, 0, 256, jnp.uint8)
+    )(jax.random.PRNGKey(1))
+    boxes_d = jnp.asarray(boxes)  # tiny: batch x 4 x 4 floats
     key = jax.random.PRNGKey(0)
     acc = jnp.zeros((), jnp.float32)
     acc = rollout_acc(acc, variables, images_d, boxes_d, key, -1)

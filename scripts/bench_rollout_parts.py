@@ -61,7 +61,12 @@ def main():
     )
     variables = trainer.eval_variables()
     cfg = trainer.config
-    images_d = jnp.asarray(images)
+    # On-device pool generation — a multi-GB host->device transfer over the
+    # tunnel can take >20 min and wedge the chip if interrupted (bench.py
+    # does the same).
+    images_d = jax.jit(
+        lambda k: jax.random.randint(k, images.shape, 0, 256, jnp.uint8)
+    )(jax.random.PRNGKey(1))
     boxes_d = jnp.asarray(boxes)
     key = jax.random.PRNGKey(0)
 
