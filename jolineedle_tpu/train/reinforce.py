@@ -279,7 +279,11 @@ class ReinforceTrainer(Trainer):
             return indices, cfg.seed + 1 + batch_counter[0]
 
         prefetcher = Prefetcher(
-            lambda work: self._build_env_batch(work[0], work[1]),
+            # Device transfer on the prefetcher thread: overlaps the
+            # previous iterations' device compute (see supervised.py).
+            lambda work: shard_batch(
+                self.mesh, self._build_env_batch(work[0], work[1])
+            ),
             n_prefetch=2,
             num_workers=cfg.num_workers,
             pick_work=pick_work,
@@ -287,8 +291,7 @@ class ReinforceTrainer(Trainer):
         try:
             for self.iter_num in range(1, cfg.max_iters + 1):
                 self.maybe_profile(self.iter_num)
-                batch = next(prefetcher)
-                batch = shard_batch(self.mesh, batch)
+                batch = next(prefetcher)  # already device-sharded
                 key, step_key = jax.random.split(key)
                 self.state, metrics = self._train_step(
                     self.state,

@@ -182,9 +182,17 @@ class SupervisedTrainer(Trainer):
             return indices, cfg.seed + 1 + batch_counter[0]
 
         def make_batch(work):
+            # The host->device transfer happens HERE, on the prefetcher
+            # thread, so it overlaps the previous iterations' device
+            # compute instead of serializing with it on the main thread
+            # (device puts are thread-safe; the 2-deep queue bounds
+            # resident prefetched batches).
             indices, seed = work
-            return build_supervised_batch(
-                dataset, indices, cfg, np.random.default_rng(seed)
+            return shard_batch(
+                self.mesh,
+                build_supervised_batch(
+                    dataset, indices, cfg, np.random.default_rng(seed)
+                ),
             )
 
         prefetcher = Prefetcher(
@@ -196,8 +204,7 @@ class SupervisedTrainer(Trainer):
         try:
             for self.iter_num in range(1, cfg.max_iters):
                 self.maybe_profile(self.iter_num)
-                batch = next(prefetcher)
-                batch = shard_batch(self.mesh, batch)
+                batch = next(prefetcher)  # already device-sharded
                 key, step_key = jax.random.split(key)
                 self.state, metrics = self._train_step(
                     self.state, batch, step_key
