@@ -134,7 +134,9 @@ def infer(args):
         print(
             "Processing image %d/%d %s" % (img_id + 1, len(image_paths), image_path)
         )
-        image = np.asarray(Image.open(image_path).convert("RGB"), np.float32) / 255.0
+        # uint8-native: 4x less host->device transfer; the env and the
+        # model normalize at use (reference normalizes here, infer.py:137).
+        image = np.asarray(Image.open(image_path).convert("RGB"))
         image = complete_to_patch_size(image, patch_size)
 
         has_targets = img_id < len(target_paths)

@@ -195,9 +195,11 @@ class NeedleDataset:
         boxes: np.ndarray,
         rng: np.random.Generator,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """uint8 HWC -> float32 [0,1] HWC, min-size upscale, pad to patch
-        multiple, augment (reference: src/dataset.py:228-280)."""
-        image = image.astype(np.float32) / 255.0
+        """uint8 HWC -> uint8 HWC, min-size upscale, pad to patch multiple,
+        augment (reference: src/dataset.py:228-280; the reference converts
+        to float here, but the whole pipeline is uint8-native in this
+        rebuild — 4x less host work/transfer; device code normalizes at use,
+        see ops/augment.to_unit_float and models/gpt.py:252)."""
         h, w = image.shape[:2]
 
         if self.minimum_image_size and (
@@ -211,8 +213,8 @@ class NeedleDataset:
             if h < self.minimum_image_size:
                 h = self.minimum_image_size
                 w = int(h * ratio)
-            pil = Image.fromarray((image * 255).astype(np.uint8))
-            image = np.asarray(pil.resize((w, h), Image.BILINEAR), np.float32) / 255.0
+            pil = Image.fromarray(image)
+            image = np.asarray(pil.resize((w, h), Image.BILINEAR))
             boxes = boxes * np.array([w / ow, h / oh, w / ow, h / oh])
 
         image = complete_to_patch_size(image, self.patch_size)

@@ -42,7 +42,7 @@ def build_supervised_sample(
     position=None,
 ) -> Dict[str, np.ndarray]:
     """One image -> fixed-shape oracle episode + detector patches."""
-    image = item["image"]  # [H, W, C] float32
+    image = item["image"]  # [H, W, C] uint8 (float accepted, see to_u8)
     boxes = np.asarray(item["bboxes"], np.float64).reshape(-1, 4)
     env = OracleEnv(image.shape[:2], patch_size, boxes, rng)
 
@@ -57,8 +57,14 @@ def build_supervised_sample(
     )
     # Patches ship as uint8: 4x less host->device transfer (and 4x less
     # client-side retention on the tunneled runtime); the jitted step
-    # normalizes back to [0, 1] (ops/augment.to_unit_float).
-    to_u8 = lambda x: np.clip(np.round(x * 255.0), 0, 255).astype(np.uint8)
+    # normalizes back to [0, 1] (ops/augment.to_unit_float). Dataset images
+    # are uint8-native so this is a no-op; float [0,1] images (tests,
+    # synthetic callers) still convert.
+    to_u8 = lambda x: (
+        x
+        if x.dtype == np.uint8
+        else np.clip(np.round(x * 255.0), 0, 255).astype(np.uint8)
+    )
     sample["patches"] = to_u8(
         gather_patches(image, sample["positions"], patch_size)
     )

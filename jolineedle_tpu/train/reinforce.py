@@ -239,9 +239,9 @@ class ReinforceTrainer(Trainer):
         images, boxes = [], []
         for idx in indices:
             item = self.train_dataset.__getitem__(int(idx), rng)
-            img = np.clip(np.round(item["image"] * 255.0), 0, 255).astype(
-                np.uint8
-            )
+            img = item["image"]  # uint8-native dataset
+            if img.dtype != np.uint8:  # float [0,1] fallback (tests)
+                img = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
             h, w = img.shape[:2]
             images.append(np.pad(img, ((0, hf - h), (0, wf - w), (0, 0))))
             b = np.asarray(item["bboxes"], np.float32).reshape(-1, 4)[

@@ -251,9 +251,12 @@ class Trainer:
                 # Device-side rollouts read uint8 images (the env normalizes
                 # patches at gather time): 4x less HBM than float32 for
                 # full-size eval images batched EVAL_CHUNK at a time.
+                # Dataset rows are uint8-native; float rows still convert.
                 images = np.stack(
                     [
-                        np.clip(
+                        rows[i]["image"]
+                        if rows[i]["image"].dtype == np.uint8
+                        else np.clip(
                             np.round(rows[i]["image"] * 255.0), 0, 255
                         ).astype(np.uint8)
                         for i in chunk

@@ -27,7 +27,7 @@ def _plot_bbox(axe, bbox: BBox, color: str):
 
 
 def plot_model_prediction(
-    image: np.ndarray,  # [H, W, C] float in [0, 1]
+    image: np.ndarray,  # [H, W, C] uint8 [0, 255] or float in [0, 1]
     patches: np.ndarray,  # [n, P, P, C]
     positions: np.ndarray,  # [n, 2] (y, x) patch coords
     true_bboxes: Optional[List[BBox]] = None,
@@ -37,7 +37,10 @@ def plot_model_prediction(
     figure = plt.figure()
     axe = figure.gca()
 
-    img = np.asarray(image) * 0.8 + 0.2
+    img = np.asarray(image)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    img = img * 0.8 + 0.2
     axe.imshow(np.clip(img, 0, 1), vmin=0, vmax=1)
     axe.set_xticks(np.arange(0, img.shape[1], patch_size))
     axe.set_yticks(np.arange(0, img.shape[0], patch_size))
@@ -73,11 +76,13 @@ def save_batch(images: np.ndarray, path: str, n_cols: int = 4):
     """Dump a batch of images as one mosaic PNG (debugging aid; reference:
     src/utils.py:396-423, cv2 replaced by PIL).
 
-    ``images``: [B, H, W, C] floats in [0, 1].
+    ``images``: [B, H, W, C] floats in [0, 1] or uint8 in [0, 255].
     """
     from PIL import Image
 
     images = np.asarray(images)
+    if images.dtype == np.uint8:
+        images = images.astype(np.float32) / 255.0
     b, h, w, c = images.shape
     n_rows = -(-b // n_cols)
     mosaic = np.zeros((n_rows * h, n_cols * w, c), np.float32)

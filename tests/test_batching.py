@@ -105,6 +105,7 @@ def test_supervised_batch_ships_uint8_patches():
     f = to_unit_float(jnp.asarray(batch["patches"]))
     assert f.dtype == jnp.float32
     img = train.__getitem__(0, np.random.default_rng(0))["image"]
+    assert img.dtype == np.uint8  # the dataset is uint8-native end-to-end
     assert float(f.max()) <= 1.0 and float(f.min()) >= 0.0
-    # Source images are uint8 files, so uint8 round-trip is exact.
-    assert abs(float(f.max()) - float(img.max())) < 1e-6
+    # Source images are uint8 files, so the normalize round-trip is exact.
+    assert abs(float(f.max()) - float(img.max()) / 255.0) < 1e-6
