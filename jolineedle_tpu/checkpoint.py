@@ -14,6 +14,7 @@ from pathlib import Path
 from typing import Any
 
 import jax
+import numpy as np
 from flax import serialization
 
 CKPT_LAST = "checkpoint.msgpack"
@@ -34,21 +35,66 @@ def load_checkpoint(path, target: Any) -> Any:
         return serialization.from_bytes(target, f.read())
 
 
+def _graft_overlap(target, ckpt, path=""):
+    """Recursively merge a raw checkpoint state-dict into a target
+    state-dict, tolerating leaf-shape mismatches.
+
+    Where shapes agree the checkpoint value wins. Where ranks agree but a
+    dimension differs (e.g. warm-starting a 9-action head from an 8-action
+    checkpoint: the action-embedding table grows on dim 0, the head kernel
+    on dim 1 — STOP is always the LAST action id, env/actions.py:16-27),
+    the overlapping hyperrectangle is copied and the rest keeps the fresh
+    initialization. Missing keys / rank mismatches keep the target leaf.
+    """
+    if isinstance(target, dict):
+        out = {}
+        for key, tval in target.items():
+            if isinstance(ckpt, dict) and key in ckpt:
+                out[key] = _graft_overlap(tval, ckpt[key], f"{path}/{key}")
+            else:
+                print(f"init-from: no checkpoint value for {path}/{key},"
+                      " keeping fresh init")
+                out[key] = tval
+        return out
+    tgt = np.asarray(target)
+    src = np.asarray(ckpt)
+    if tgt.shape == src.shape:
+        return src
+    if tgt.ndim != src.ndim:
+        print(f"init-from: rank mismatch at {path} "
+              f"({src.shape} -> {tgt.shape}), keeping fresh init")
+        return target
+    region = tuple(slice(0, min(a, b)) for a, b in zip(src.shape, tgt.shape))
+    merged = np.array(tgt)
+    merged[region] = src[region].astype(tgt.dtype)
+    print(f"init-from: shape mismatch at {path} ({src.shape} -> {tgt.shape}),"
+          f" grafted overlap {tuple(s.stop for s in region)}")
+    return merged
+
+
 def load_params_only(path, target_state: Any) -> Any:
     """Restore only model params/batch_stats (best-ckpt revalidation,
     reference: src/trainer.py:138-165, and ``--init-from`` warm starts).
 
     Deserializes the raw msgpack tree and grafts just the model subtrees,
     so the checkpoint's optimizer state need NOT match ``target_state``'s —
-    the two training modes wrap their optax chains differently."""
+    the two training modes wrap their optax chains differently. Leaf-shape
+    mismatches are overlap-grafted (see ``_graft_overlap``) so e.g. a
+    REINFORCE ``--enable-stop`` run can warm-start from a supervised
+    checkpoint whose categorical head lacks the STOP logit."""
     with open(Path(path), "rb") as f:
         raw = serialization.msgpack_restore(f.read())
+    params_sd = _graft_overlap(
+        serialization.to_state_dict(target_state.params), raw["params"]
+    )
+    stats_sd = _graft_overlap(
+        serialization.to_state_dict(target_state.batch_stats),
+        raw["batch_stats"],
+    )
     return target_state.replace(
-        params=serialization.from_state_dict(
-            target_state.params, raw["params"]
-        ),
+        params=serialization.from_state_dict(target_state.params, params_sd),
         batch_stats=serialization.from_state_dict(
-            target_state.batch_stats, raw["batch_stats"]
+            target_state.batch_stats, stats_sd
         ),
     )
 

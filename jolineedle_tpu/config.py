@@ -185,6 +185,16 @@ def get_args(args=None) -> argparse.Namespace:
     # supervised policy), where --resume-training cannot apply because the
     # two modes' optimizer pytrees differ (clip/MultiSteps wrappers).
     parser.add_argument("--init-from", type=str, required=False)
+    # TPU-rebuild extension: keep the whole dataset in HBM as uint8 and
+    # gather patch pixels inside the jitted step (data/device_pool.py) —
+    # removes per-iteration host->device pixel transfers. ``auto`` enables
+    # when the pool fits the memory budget and geometric augs are off.
+    parser.add_argument(
+        "--device-data-cache",
+        type=str,
+        default="auto",
+        choices=["auto", "on", "off"],
+    )
     parser.add_argument("--detection-checkpoint", type=str)
     parser.add_argument("--dataset-dir", type=Path, required=True)
     parser.add_argument("--seed", type=int, default=0)
@@ -304,6 +314,7 @@ def args_to_config(args) -> tuple:
     train_config.eval_training_set = args.eval_training_set
     train_config.resume_training = args.resume_training
     train_config.init_from = args.init_from
+    train_config.device_data_cache = args.device_data_cache
     train_config.detection_checkpoint = args.detection_checkpoint
     train_config.merge_bboxes = args.merge_bboxes
     train_config.seed = args.seed

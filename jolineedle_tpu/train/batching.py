@@ -40,8 +40,15 @@ def build_supervised_sample(
     max_boxes: int,
     rng: np.random.Generator,
     position=None,
+    with_pixels: bool = True,
 ) -> Dict[str, np.ndarray]:
-    """One image -> fixed-shape oracle episode + detector patches."""
+    """One image -> fixed-shape oracle episode + detector patches.
+
+    ``with_pixels=False`` is the device-pool path (data/device_pool.py):
+    patch pixels stay in HBM and the jitted train step gathers them from
+    ``positions``/``yolox_positions``, so the batch carries only geometry
+    and labels (KBs instead of MBs per iteration).
+    """
     image = item["image"]  # [H, W, C] uint8 (float accepted, see to_u8)
     boxes = np.asarray(item["bboxes"], np.float64).reshape(-1, 4)
     env = OracleEnv(image.shape[:2], patch_size, boxes, rng)
@@ -65,13 +72,9 @@ def build_supervised_sample(
         if x.dtype == np.uint8
         else np.clip(np.round(x * 255.0), 0, 255).astype(np.uint8)
     )
-    sample["patches"] = to_u8(
-        gather_patches(image, sample["positions"], patch_size)
-    )
     sample["class_id"] = np.int32(item["class_id"])
 
     det_pos, det_valid = detection_patch_positions(env, max_det_patches)
-    det_patches = gather_patches(image, det_pos, patch_size)
     det_boxes = np.zeros((max_det_patches, max_boxes, 6), np.float32)
     for i in range(max_det_patches):
         if det_valid[i]:
@@ -79,11 +82,18 @@ def build_supervised_sample(
                 env.local_bboxes(tuple(det_pos[i])), max_boxes
             )
             det_boxes[i, : len(local)] = local
-    sample["patches_yolox"] = to_u8(
-        det_patches * det_valid[:, None, None, None]
-    )
+    sample["yolox_positions"] = det_pos.astype(np.int32)
     sample["bboxes_yolox"] = det_boxes
     sample["yolox_valid"] = det_valid
+
+    if with_pixels:
+        sample["patches"] = to_u8(
+            gather_patches(image, sample["positions"], patch_size)
+        )
+        det_patches = gather_patches(image, det_pos, patch_size)
+        sample["patches_yolox"] = to_u8(
+            det_patches * det_valid[:, None, None, None]
+        )
     return sample
 
 
@@ -92,6 +102,7 @@ def build_supervised_batch(
     indices,
     config,
     rng: np.random.Generator,
+    with_pixels: bool = True,
 ) -> Dict[str, np.ndarray]:
     samples = []
     for idx in indices:
@@ -109,9 +120,11 @@ def build_supervised_batch(
                 max_det_patches=config.max_det_patches,
                 max_boxes=config.max_boxes,
                 rng=rng,
+                with_pixels=with_pixels,
             )
         )
     batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    batch["image_idx"] = np.asarray(indices, np.int32)
 
     # Reference actions (loss mode, reference: src/supervised.py:870-879).
     if getattr(config, "loss_mode", "on-optimal-trajectory") == "on-self-trajectory":

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..data.device_pool import DeviceImagePool
 from ..env.batched_env import NeedleEnv
 from ..env.oracle import gather_patches
 from ..models.gpt import GPT
@@ -122,10 +123,18 @@ class ReinforceTrainer(Trainer):
         reward_norm = cfg.reward_norm
         entropy_weight = self.entropy_weight
 
-        def loss_fn(params, batch_stats, batch, rng, ret_mean, ret_std):
+        def loss_fn(params, batch_stats, batch, rng, ret_mean, ret_std,
+                    pool_images):
             variables = {"params": params, "batch_stats": batch_stats}
+            if "image" in batch:
+                images = batch["image"]
+            else:
+                # Device-pool path (data/device_pool.py): the whole dataset
+                # lives in HBM; materialize this batch's images by index —
+                # zero host->device pixel traffic per iteration.
+                images = jnp.take(pool_images, batch["image_idx"], axis=0)
             env = NeedleEnv(
-                batch["image"],
+                images,
                 batch["bboxes"],
                 cfg.patch_size,
                 self.max_ep_len,
@@ -185,10 +194,12 @@ class ReinforceTrainer(Trainer):
             metrics["loss"] = loss
             return loss, (metrics, stats)
 
-        def train_step(state: TrainState, batch, rng, ret_mean, ret_std):
+        def train_step(state: TrainState, batch, rng, ret_mean, ret_std,
+                       pool_images=None):
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, (metrics, stats)), grads = grad_fn(
-                state.params, state.batch_stats, batch, rng, ret_mean, ret_std
+                state.params, state.batch_stats, batch, rng, ret_mean,
+                ret_std, pool_images
             )
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
@@ -222,13 +233,19 @@ class ReinforceTrainer(Trainer):
         self._window_stats = []
 
     # --- host batch assembly ----------------------------------------------------
-    def _build_env_batch(self, indices, seed: int = 0) -> Dict[str, np.ndarray]:
+    def _build_env_batch(
+        self, indices, seed: int = 0, with_pixels: bool = True
+    ) -> Dict[str, np.ndarray]:
         """Dense [B, Hf, Wf, C] images + [B, N, 4] padded boxes at the static
         training shape (one XLA program for the whole run).
 
         Images ship as uint8: the env stores them as-is in HBM (4x less
         memory/bandwidth than float32) and normalizes patches to [0, 1] at
-        gather time. The sources are uint8 files, so nothing is lost."""
+        gather time. The sources are uint8 files, so nothing is lost.
+
+        ``with_pixels=False`` is the device-pool path: the batch carries
+        only dataset indices + boxes and the jitted step materializes the
+        images from the HBM pool (data/device_pool.py)."""
         cfg = self.config
         if not hasattr(self, "_fixed_shape"):
             self._fixed_shape = fixed_training_shape(
@@ -239,16 +256,26 @@ class ReinforceTrainer(Trainer):
         images, boxes = [], []
         for idx in indices:
             item = self.train_dataset.__getitem__(int(idx), rng)
-            img = item["image"]  # uint8-native dataset
-            if img.dtype != np.uint8:  # float [0,1] fallback (tests)
-                img = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
-            h, w = img.shape[:2]
-            images.append(np.pad(img, ((0, hf - h), (0, wf - w), (0, 0))))
+            if with_pixels:
+                img = item["image"]  # uint8-native dataset
+                if img.dtype != np.uint8:  # float [0,1] fallback (tests)
+                    img = np.clip(np.round(img * 255.0), 0, 255).astype(
+                        np.uint8
+                    )
+                h, w = img.shape[:2]
+                images.append(
+                    np.pad(img, ((0, hf - h), (0, wf - w), (0, 0)))
+                )
             b = np.asarray(item["bboxes"], np.float32).reshape(-1, 4)[
                 : cfg.max_boxes
             ]
             boxes.append(np.pad(b, ((0, cfg.max_boxes - len(b)), (0, 0))))
-        return {"image": np.stack(images), "bboxes": np.stack(boxes)}
+        batch = {"bboxes": np.stack(boxes)}
+        if with_pixels:
+            batch["image"] = np.stack(images)
+        else:
+            batch["image_idx"] = np.asarray(indices, np.int32)
+        return batch
 
     # --- train loop (reference: src/reinforce.py:267-362) -----------------------
     def run(self, rank: int = 0, world_size: int = 1, port: int = 0):
@@ -278,11 +305,32 @@ class ReinforceTrainer(Trainer):
             batch_counter[0] += 1
             return indices, cfg.seed + 1 + batch_counter[0]
 
+        # Device-resident dataset pool (data/device_pool.py): the RL path
+        # otherwise ships WHOLE padded images per batch — the largest
+        # host->device transfer in the framework.
+        pool = None
+        if DeviceImagePool.eligible(
+            self.train_dataset, getattr(cfg, "device_data_cache", "auto")
+        ):
+            pool = DeviceImagePool.build(self.train_dataset, self.mesh)
+            if not hasattr(self, "_fixed_shape"):
+                self._fixed_shape = fixed_training_shape(
+                    self.train_dataset, cfg.patch_size
+                )
+            if tuple(pool.images.shape[1:3]) != tuple(self._fixed_shape):
+                # The env is compiled for the dataset's fixed training
+                # shape; a mismatched pool pad would change program shapes.
+                print("device pool: pad shape mismatch, streaming instead")
+                pool = None
+
         prefetcher = Prefetcher(
             # Device transfer on the prefetcher thread: overlaps the
             # previous iterations' device compute (see supervised.py).
             lambda work: shard_batch(
-                self.mesh, self._build_env_batch(work[0], work[1])
+                self.mesh,
+                self._build_env_batch(
+                    work[0], work[1], with_pixels=pool is None
+                ),
             ),
             n_prefetch=2,
             num_workers=cfg.num_workers,
@@ -299,6 +347,7 @@ class ReinforceTrainer(Trainer):
                     step_key,
                     jnp.float32(self.last_return_mean),
                     jnp.float32(self.last_return_std),
+                    None if pool is None else pool.images,
                 )
                 self.last_train_metrics = metrics
                 self.throttle_dispatch(self.iter_num, metrics)

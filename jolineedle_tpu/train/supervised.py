@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..data.device_pool import DeviceImagePool, gather_pool_patches
 from ..env import Action
 from ..env.batched_env import NeedleEnv
 from ..env.oracle import OracleEnv, gather_patches, move_towards
@@ -82,9 +83,20 @@ class SupervisedTrainer(Trainer):
         class_weight = self.class_weight
         detection = cfg.detection_enabled
 
-        def loss_fn(params, batch_stats, batch, rng):
+        def loss_fn(params, batch_stats, batch, rng, pool_images):
             k_aug1, k_aug2, k_drop = jax.random.split(rng, 3)
-            patches = detection_augment(k_aug1, to_unit_float(batch["patches"]))
+            if "patches" in batch:
+                raw_patches = batch["patches"]
+            else:
+                # Device-pool path: pixels never left HBM; gather them here
+                # from the episode's patch coords (data/device_pool.py).
+                raw_patches = gather_pool_patches(
+                    pool_images,
+                    batch["image_idx"],
+                    batch["positions"],
+                    cfg.patch_size,
+                )
+            patches = detection_augment(k_aug1, to_unit_float(raw_patches))
 
             variables = {"params": params, "batch_stats": batch_stats}
             (logits, _), mut = model.apply(
@@ -109,9 +121,20 @@ class SupervisedTrainer(Trainer):
 
             stats = mut["batch_stats"]
             if detection:
-                det = detection_augment(
-                    k_aug2, to_unit_float(batch["patches_yolox"])
-                )
+                if "patches_yolox" in batch:
+                    raw_det = batch["patches_yolox"]
+                else:
+                    raw_det = gather_pool_patches(
+                        pool_images,
+                        batch["image_idx"],
+                        batch["yolox_positions"],
+                        cfg.patch_size,
+                    )
+                    # Host path zeroes the padding patches at gather time.
+                    raw_det = raw_det * batch["yolox_valid"][
+                        :, :, None, None, None
+                    ].astype(raw_det.dtype)
+                det = detection_augment(k_aug2, to_unit_float(raw_det))
                 B, K = det.shape[:2]
                 flat = det.reshape((B * K,) + det.shape[2:])
                 (head_out, _), mut2 = model.apply(
@@ -135,10 +158,10 @@ class SupervisedTrainer(Trainer):
             metrics["loss"] = loss
             return loss, (metrics, stats)
 
-        def train_step(state: TrainState, batch, rng):
+        def train_step(state: TrainState, batch, rng, pool_images=None):
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, (metrics, stats)), grads = grad_fn(
-                state.params, state.batch_stats, batch, rng
+                state.params, state.batch_stats, batch, rng, pool_images
             )
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
@@ -181,6 +204,15 @@ class SupervisedTrainer(Trainer):
             batch_counter[0] += 1
             return indices, cfg.seed + 1 + batch_counter[0]
 
+        # Device-resident dataset pool: ship all pixels to HBM once and
+        # gather patches inside the jitted step; per-iteration batches then
+        # carry only geometry/labels (data/device_pool.py).
+        pool = None
+        if DeviceImagePool.eligible(
+            dataset, getattr(cfg, "device_data_cache", "auto")
+        ):
+            pool = DeviceImagePool.build(dataset, self.mesh)
+
         def make_batch(work):
             # The host->device transfer happens HERE, on the prefetcher
             # thread, so it overlaps the previous iterations' device
@@ -191,7 +223,11 @@ class SupervisedTrainer(Trainer):
             return shard_batch(
                 self.mesh,
                 build_supervised_batch(
-                    dataset, indices, cfg, np.random.default_rng(seed)
+                    dataset,
+                    indices,
+                    cfg,
+                    np.random.default_rng(seed),
+                    with_pixels=pool is None,
                 ),
             )
 
@@ -207,7 +243,10 @@ class SupervisedTrainer(Trainer):
                 batch = next(prefetcher)  # already device-sharded
                 key, step_key = jax.random.split(key)
                 self.state, metrics = self._train_step(
-                    self.state, batch, step_key
+                    self.state,
+                    batch,
+                    step_key,
+                    None if pool is None else pool.images,
                 )
                 self.last_train_metrics = metrics
                 self.throttle_dispatch(self.iter_num, metrics)

@@ -62,6 +62,45 @@ def _cli(toy_dir, work_dir, mode, extra=()):
     # fmt: on
 
 
+def test_graft_overlap_head_growth():
+    """Warm-starting a stop-enabled (9-action) model from a no-stop
+    (8-action) checkpoint grafts the 8 trained move rows/columns and keeps
+    the fresh init for the STOP slot (STOP is the last action id,
+    env/actions.py:16-27)."""
+    from jolineedle_tpu.checkpoint import _graft_overlap
+
+    rng = np.random.default_rng(0)
+    # wte grows on dim 0, the head kernel on dim 1, a matching leaf passes
+    # through, a missing leaf keeps the fresh init.
+    target = {
+        "wte": rng.normal(size=(9, 16)).astype(np.float32),
+        "head": {"kernel": rng.normal(size=(16, 9)).astype(np.float32)},
+        "same": np.zeros((4,), np.float32),
+        "new_layer": np.full((3,), 7.0, np.float32),
+    }
+    ckpt = {
+        "wte": rng.normal(size=(8, 16)).astype(np.float32),
+        "head": {"kernel": rng.normal(size=(16, 8)).astype(np.float32)},
+        "same": np.ones((4,), np.float32),
+    }
+    out = _graft_overlap(target, ckpt)
+    np.testing.assert_array_equal(out["wte"][:8], ckpt["wte"])
+    np.testing.assert_array_equal(out["wte"][8], target["wte"][8])
+    np.testing.assert_array_equal(
+        out["head"]["kernel"][:, :8], ckpt["head"]["kernel"]
+    )
+    np.testing.assert_array_equal(
+        out["head"]["kernel"][:, 8], target["head"]["kernel"][:, 8]
+    )
+    np.testing.assert_array_equal(out["same"], ckpt["same"])
+    np.testing.assert_array_equal(out["new_layer"], target["new_layer"])
+    # Rank mismatch: keep fresh init rather than guessing.
+    out2 = _graft_overlap(
+        {"x": np.zeros((2, 2), np.float32)}, {"x": np.ones((4,), np.float32)}
+    )
+    np.testing.assert_array_equal(out2["x"], np.zeros((2, 2), np.float32))
+
+
 def test_cross_mode_warm_start(toy_dir, tmp_path):
     import main
     from jolineedle_tpu import checkpoint as ckpt
