@@ -169,6 +169,12 @@ def get_args(args=None) -> argparse.Namespace:
     parser.add_argument("--max-iters", type=int, default=1000)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--gradient-accumulation", type=int, default=1)
+    # TPU-rebuild extension: run N train iterations per jitted dispatch
+    # (lax.scan over N prefetched batches). Amortizes per-dispatch RPC
+    # latency on tunneled/remote runtimes; semantics are identical (the
+    # REINFORCE return-normalization window requires N to divide
+    # --gradient-accumulation, enforced at startup).
+    parser.add_argument("--steps-per-dispatch", type=int, default=1)
     parser.add_argument("--env-name", type=str, default="test")
     parser.add_argument("--group", type=str, default="")
     parser.add_argument("--work-dir", type=str, default="./out/")
@@ -304,6 +310,7 @@ def args_to_config(args) -> tuple:
     train_config.batch_size = args.batch_size
     train_config.detection_enabled = args.detection_enabled
     train_config.gradient_accumulation = args.gradient_accumulation
+    train_config.steps_per_dispatch = args.steps_per_dispatch
     train_config.env_name = args.env_name
     train_config.work_dir = args.work_dir
     train_config.test_size = args.test_size

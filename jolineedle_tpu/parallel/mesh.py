@@ -44,9 +44,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device-put a host batch with the leading dim sharded over data."""
-    sharding = batch_sharding(mesh)
+def shard_batch(mesh: Mesh, batch: dict, batch_axis: int = 0) -> dict:
+    """Device-put a host batch with dim ``batch_axis`` sharded over data.
+
+    ``batch_axis=1`` serves stacked multi-step batches [K, B, ...]
+    (--steps-per-dispatch): the scan axis K is replicated, the per-device
+    batch B stays sharded."""
+    if batch_axis == 0:
+        sharding = batch_sharding(mesh)
+    else:
+        sharding = NamedSharding(
+            mesh, P(*((None,) * batch_axis + (DATA_AXIS,)))
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )

@@ -211,7 +211,36 @@ class ReinforceTrainer(Trainer):
             )
             return new_state, metrics
 
+        self._train_step_core = train_step
         return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_multi_train_step(self):
+        """N REINFORCE iterations per jitted dispatch (--steps-per-dispatch).
+
+        Exact-parity constraint: the return-normalization statistics are
+        constant within an accumulation window and updated at its end
+        (reference: src/reinforce.py:92-106, 341-353), so N must divide
+        --gradient-accumulation — then ``ret_mean``/``ret_std`` are
+        legitimately constant across the whole scan and the host updates
+        them between dispatches. Returns the last step's metrics plus the
+        chunk's summed window statistics (both computed in-program)."""
+        core = self._train_step_core
+
+        def multi_step(state, batches, rngs, ret_mean, ret_std,
+                       pool_images=None):
+            def body(s, xs):
+                batch, rng = xs
+                return core(s, batch, rng, ret_mean, ret_std, pool_images)
+
+            state, metrics = jax.lax.scan(body, state, (batches, rngs))
+            window = {
+                k: metrics[k].sum()
+                for k in ("ret_sum", "ret_sumsq", "ret_count")
+            }
+            last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+            return state, last, window
+
+        return jax.jit(multi_step, donate_argnums=(0,))
 
     # --- return-normalization window (reference: reinforce.py:92-106) ---------
     def _update_return_stats(self):
@@ -323,37 +352,102 @@ class ReinforceTrainer(Trainer):
                 print("device pool: pad shape mismatch, streaming instead")
                 pool = None
 
-        prefetcher = Prefetcher(
+        # N iterations per jitted dispatch (--steps-per-dispatch). The
+        # return-normalization window update must stay on chunk boundaries
+        # for exact reference parity (see _build_multi_train_step).
+        spd = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
+        if spd > 1 and (
+            cfg.test_every % spd != 0
+            or (cfg.reward_norm and cfg.gradient_accumulation % spd != 0)
+        ):
+            raise ValueError(
+                f"--steps-per-dispatch {spd} must divide --test-every"
+                f" {cfg.test_every} and (with reward normalization)"
+                f" --gradient-accumulation {cfg.gradient_accumulation}"
+            )
+
+        def make_batch(work):
             # Device transfer on the prefetcher thread: overlaps the
             # previous iterations' device compute (see supervised.py).
-            lambda work: shard_batch(
-                self.mesh,
+            indices, seed = work
+            if spd == 1:
+                return shard_batch(
+                    self.mesh,
+                    self._build_env_batch(
+                        indices, seed, with_pixels=pool is None
+                    ),
+                )
+            chunks = [
                 self._build_env_batch(
-                    work[0], work[1], with_pixels=pool is None
-                ),
-            ),
+                    indices[k * global_batch : (k + 1) * global_batch],
+                    seed + k,
+                    with_pixels=pool is None,
+                )
+                for k in range(spd)
+            ]
+            stacked = {
+                k: np.stack([c[k] for c in chunks]) for k in chunks[0]
+            }
+            return shard_batch(self.mesh, stacked, batch_axis=1)
+
+        if spd > 1:
+            single_pick = pick_work
+
+            def pick_work():
+                drawn = [single_pick() for _ in range(spd)]
+                return (
+                    [i for ids, _ in drawn for i in ids],
+                    drawn[0][1],
+                )
+
+            multi_step = self._build_multi_train_step()
+
+        prefetcher = Prefetcher(
+            make_batch,
             n_prefetch=2,
             num_workers=cfg.num_workers,
             pick_work=pick_work,
         )
         try:
-            for self.iter_num in range(1, cfg.max_iters + 1):
-                self.maybe_profile(self.iter_num)
+            start, dispatch_idx = 1, 0
+            while start <= cfg.max_iters:
+                dispatch_idx += 1
+                self.maybe_profile(dispatch_idx if spd > 1 else start)
+                n = min(spd, cfg.max_iters - start + 1)
                 batch = next(prefetcher)  # already device-sharded
-                key, step_key = jax.random.split(key)
-                self.state, metrics = self._train_step(
-                    self.state,
-                    batch,
-                    step_key,
-                    jnp.float32(self.last_return_mean),
-                    jnp.float32(self.last_return_std),
-                    None if pool is None else pool.images,
-                )
+                key, sub = jax.random.split(key)
+                if spd == 1:
+                    self.state, metrics = self._train_step(
+                        self.state,
+                        batch,
+                        sub,
+                        jnp.float32(self.last_return_mean),
+                        jnp.float32(self.last_return_std),
+                        None if pool is None else pool.images,
+                    )
+                    window = metrics
+                else:
+                    step_keys = jax.random.split(sub, spd)
+                    if n < spd:  # tail chunk (one extra trace)
+                        batch = jax.tree_util.tree_map(
+                            lambda x: x[:n], batch
+                        )
+                        step_keys = step_keys[:n]
+                    self.state, metrics, window = multi_step(
+                        self.state,
+                        batch,
+                        step_keys,
+                        jnp.float32(self.last_return_mean),
+                        jnp.float32(self.last_return_std),
+                        None if pool is None else pool.images,
+                    )
+                start += n
+                self.iter_num = start - 1  # last completed iteration
                 self.last_train_metrics = metrics
                 self.throttle_dispatch(self.iter_num, metrics)
                 if cfg.reward_norm:
                     self._window_stats.append(
-                        (metrics["ret_sum"], metrics["ret_sumsq"], metrics["ret_count"])
+                        (window["ret_sum"], window["ret_sumsq"], window["ret_count"])
                     )
                     if self.iter_num % cfg.gradient_accumulation == 0:
                         self._update_return_stats()

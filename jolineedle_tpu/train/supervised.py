@@ -173,7 +173,26 @@ class SupervisedTrainer(Trainer):
             )
             return new_state, metrics
 
+        self._train_step_core = train_step
         return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_multi_train_step(self):
+        """N train iterations in ONE jitted dispatch (``lax.scan`` over
+        stacked batches). Semantically identical to N single steps; it
+        exists to amortize per-dispatch RPC latency on tunneled/remote
+        runtimes (--steps-per-dispatch). Returns the LAST step's metrics
+        (computed in-program — no per-step host fetches)."""
+        core = self._train_step_core
+
+        def multi_step(state, batches, rngs, pool_images=None):
+            def body(s, xs):
+                batch, rng = xs
+                return core(s, batch, rng, pool_images)
+
+            state, metrics = jax.lax.scan(body, state, (batches, rngs))
+            return state, jax.tree_util.tree_map(lambda x: x[-1], metrics)
+
+        return jax.jit(multi_step, donate_argnums=(0,))
 
     # --- train loop (reference: src/supervised.py:812-911) --------------------
     def run(self, rank: int = 0, world_size: int = 1, port: int = 0):
@@ -213,6 +232,15 @@ class SupervisedTrainer(Trainer):
         ):
             pool = DeviceImagePool.build(dataset, self.mesh)
 
+        # N iterations per jitted dispatch (--steps-per-dispatch): chunk
+        # boundaries must line up with the eval cadence.
+        spd = max(1, int(getattr(cfg, "steps_per_dispatch", 1)))
+        if spd > 1 and cfg.test_every % spd != 0:
+            raise ValueError(
+                f"--steps-per-dispatch {spd} must divide"
+                f" --test-every {cfg.test_every}"
+            )
+
         def make_batch(work):
             # The host->device transfer happens HERE, on the prefetcher
             # thread, so it overlaps the previous iterations' device
@@ -220,16 +248,46 @@ class SupervisedTrainer(Trainer):
             # (device puts are thread-safe; the 2-deep queue bounds
             # resident prefetched batches).
             indices, seed = work
-            return shard_batch(
-                self.mesh,
+            if spd == 1:
+                return shard_batch(
+                    self.mesh,
+                    build_supervised_batch(
+                        dataset,
+                        indices,
+                        cfg,
+                        np.random.default_rng(seed),
+                        with_pixels=pool is None,
+                    ),
+                )
+            # Stacked [spd, B, ...] batches: one transfer + one dispatch
+            # covers spd iterations.
+            chunks = [
                 build_supervised_batch(
                     dataset,
-                    indices,
+                    indices[k * global_batch : (k + 1) * global_batch],
                     cfg,
-                    np.random.default_rng(seed),
+                    np.random.default_rng(seed + k),
                     with_pixels=pool is None,
-                ),
-            )
+                )
+                for k in range(spd)
+            ]
+            stacked = {
+                k: np.stack([c[k] for c in chunks]) for k in chunks[0]
+            }
+            return shard_batch(self.mesh, stacked, batch_axis=1)
+
+        if spd > 1:
+            # pick_work draws spd batches' worth of indices per work item.
+            single_pick = pick_work
+
+            def pick_work():
+                drawn = [single_pick() for _ in range(spd)]
+                return (
+                    [i for ids, _ in drawn for i in ids],
+                    drawn[0][1],
+                )
+
+            multi_step = self._build_multi_train_step()
 
         prefetcher = Prefetcher(
             make_batch,
@@ -238,21 +296,48 @@ class SupervisedTrainer(Trainer):
             pick_work=pick_work,
         )
         try:
-            for self.iter_num in range(1, cfg.max_iters):
-                self.maybe_profile(self.iter_num)
-                batch = next(prefetcher)  # already device-sharded
-                key, step_key = jax.random.split(key)
-                self.state, metrics = self._train_step(
-                    self.state,
-                    batch,
-                    step_key,
-                    None if pool is None else pool.images,
-                )
-                self.last_train_metrics = metrics
-                self.throttle_dispatch(self.iter_num, metrics)
+            if spd == 1:
+                for self.iter_num in range(1, cfg.max_iters):
+                    self.maybe_profile(self.iter_num)
+                    batch = next(prefetcher)  # already device-sharded
+                    key, step_key = jax.random.split(key)
+                    self.state, metrics = self._train_step(
+                        self.state,
+                        batch,
+                        step_key,
+                        None if pool is None else pool.images,
+                    )
+                    self.last_train_metrics = metrics
+                    self.throttle_dispatch(self.iter_num, metrics)
 
-                if self.iter_num % cfg.test_every == 0:
-                    self.test()
+                    if self.iter_num % cfg.test_every == 0:
+                        self.test()
+            else:
+                start, dispatch_idx = 1, 0
+                while start < cfg.max_iters:
+                    dispatch_idx += 1
+                    self.maybe_profile(dispatch_idx)
+                    n = min(spd, cfg.max_iters - start)
+                    stacked = next(prefetcher)
+                    key, sub = jax.random.split(key)
+                    step_keys = jax.random.split(sub, spd)
+                    if n < spd:  # tail chunk (one extra trace)
+                        stacked = jax.tree_util.tree_map(
+                            lambda x: x[:n], stacked
+                        )
+                        step_keys = step_keys[:n]
+                    self.state, metrics = multi_step(
+                        self.state,
+                        stacked,
+                        step_keys,
+                        None if pool is None else pool.images,
+                    )
+                    start += n
+                    self.iter_num = start - 1  # last completed iteration
+                    self.last_train_metrics = metrics
+                    self.throttle_dispatch(self.iter_num, metrics)
+                    if self.iter_num % cfg.test_every == 0:
+                        self.test()
         finally:
             prefetcher.close()
             self.maybe_profile(-1)
