@@ -1,0 +1,32 @@
+"""Regenerate the 1.5k-image toy dataset used by the round-2 experiments.
+
+The experiment log's "1.5k set" (`/root/toyds_big`) is ephemeral (lives
+outside the repo and machine resets wipe it); this pins the exact recipe so
+any session can reproduce it deterministically:
+
+    python scripts/make_toyds_big.py [out_dir]
+
+1,500 train / 150 test context-glow images, 320x448 (5x7 grid at patch 64
+-- an 8-step-reachable analog of LARD's 6x6 448px grid), seed 0.
+Takes ~4 min on one host core.
+"""
+
+import sys
+
+from jolineedle_tpu.data.toy import generate_toy_dataset
+
+
+def main(out_dir: str = "/root/toyds_big") -> None:
+    path = generate_toy_dataset(
+        out_dir,
+        n_train=1500,
+        n_test=150,
+        image_size=(320, 448),
+        seed=0,
+        context=True,
+    )
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
