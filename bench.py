@@ -148,10 +148,17 @@ def build(small: bool):
     return trainer, model, images, boxes, batch, max_ep_len, patch, embedder
 
 
-def bench_scan_rollout(trainer, images, boxes, iters: int):
+def bench_scan_rollout(trainer, images, boxes, iters: int, repeats: int = 3):
     """TPU-native path: full rollout inside one jitted lax.scan.
 
-    Returns (elapsed_seconds, flops_per_rollout_call or None)."""
+    Runs ``repeats`` independent measurement passes of ``iters`` iterations
+    each (~20 s of device work per pass at the default sizes) so the caller
+    can take the median — the tunneled runtime's throughput jitters up to 4x
+    between short windows, and a single pass made the driver-recorded
+    headline swing between rounds (round-2 verdict).
+
+    Returns (list of per-pass elapsed seconds, flops_per_rollout_call or
+    None)."""
     variables = trainer.eval_variables()
     from jolineedle_tpu.env.batched_env import NeedleEnv
     from jolineedle_tpu.utils.flops import traced_flops
@@ -209,22 +216,25 @@ def bench_scan_rollout(trainer, images, boxes, iters: int):
     # regression, docs/experiment_log.md). Adds tracing overhead: do not
     # quote steps/s from a profiled run.
     profile_dir = os.environ.get("BENCH_PROFILE_DIR")
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
 
-    t0 = time.perf_counter()
-    acc = jnp.zeros((), jnp.float32)
-    for i in range(iters):
-        acc = rollout_acc(acc, variables, images_d, boxes_d, key, i)
-    float(acc)
-    elapsed = time.perf_counter() - t0
-    if profile_dir:
-        jax.profiler.stop_trace()
+    elapsed = []
+    for rep in range(repeats):
+        if profile_dir and rep == 0:  # trace the first pass only
+            jax.profiler.start_trace(profile_dir)
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.float32)
+        for i in range(iters):
+            acc = rollout_acc(acc, variables, images_d, boxes_d, key, i)
+        float(acc)
+        elapsed.append(time.perf_counter() - t0)
+        if profile_dir and rep == 0:
+            jax.profiler.stop_trace()
     return elapsed, flops
 
 
 def measure_peak_tflops(
-    dtype=jnp.bfloat16, n: int = 8192, iters: int = 10, inner: int = 8
+    dtype=jnp.bfloat16, n: int = 8192, iters: int = 10, inner: int = 8,
+    repeats: int = 3,
 ):
     """Measured large-matmul peak of the live chip — the MFU denominator.
 
@@ -253,13 +263,16 @@ def measure_peak_tflops(
     acc = jnp.zeros((), jnp.float32)
     acc = step(acc, x)
     float(acc)  # compile + warm
-    acc = jnp.zeros((), jnp.float32)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        acc = step(acc, x)
-    float(acc)
-    dt = time.perf_counter() - t0
-    return 2 * n**3 * inner * iters / dt / 1e12
+    samples = []
+    for _ in range(repeats):
+        acc = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            acc = step(acc, x)
+        float(acc)
+        dt = time.perf_counter() - t0
+        samples.append(2 * n**3 * inner * iters / dt / 1e12)
+    return float(np.median(samples))
 
 
 def bench_reference_style_rollout(
@@ -381,8 +394,15 @@ def main():
     (trainer, model, images, boxes, batch, max_ep_len, patch,
      embedder) = build(small)
 
-    scan_time, rollout_flops = bench_scan_rollout(trainer, images, boxes, iters)
-    steps_per_sec = batch * max_ep_len * iters / scan_time
+    repeats = int(os.environ.get("BENCH_REPEATS", 1 if small else 3))
+    pass_times, rollout_flops = bench_scan_rollout(
+        trainer, images, boxes, iters, repeats=repeats
+    )
+    # Median pass — robust to the tunnel's inter-window jitter; the spread
+    # across passes is reported so a noisy session is visible in the JSON.
+    per_pass = [batch * max_ep_len * iters / t for t in pass_times]
+    steps_per_sec = float(np.median(per_pass))
+    scan_time = float(np.median(pass_times))
 
     # Utilization: achieved TFLOP/s over the measured bf16 matmul peak of
     # the same chip in the same session.
@@ -392,6 +412,10 @@ def main():
         "unit": f"env steps/s (batch {batch}, ep_len {max_ep_len}, "
         f"patch {patch}, grid {images.shape[1] // patch})",
         "vs_baseline": None,
+        "passes": [round(v, 1) for v in per_pass],
+        "spread_pct": round(
+            100 * (max(per_pass) - min(per_pass)) / steps_per_sec, 1
+        ),
     }
     if rollout_flops:
         achieved = rollout_flops * iters / scan_time / 1e12

@@ -38,16 +38,21 @@ from jolineedle_tpu.env.batched_env import NeedleEnv
 from jolineedle_tpu.models.gpt import GPT
 
 
-def timed(label, make_step, iters):
-    """make_step() -> (step_fn(acc, i) -> acc). Returns seconds/iter."""
-    step = make_step()
+def timed(label, step, iters, *args):
+    """step(acc, i, *args) -> acc, jitted. Returns seconds/iter.
+
+    Device-array fixtures are threaded through as ARGUMENTS (``*args``), not
+    captured in the closure: a closed-over concrete array becomes an HLO
+    constant, and at batch-128 rollout sizes the embedded constants blow the
+    tunneled runtime's remote-compile request over its body-size limit
+    (HTTP 413)."""
     acc = jnp.zeros((), jnp.float32)
-    acc = step(acc, -1)
+    acc = step(acc, -1, *args)
     float(acc)  # compile + warm
     acc = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for i in range(iters):
-        acc = step(acc, i)
+        acc = step(acc, i, *args)
     float(acc)
     dt = (time.perf_counter() - t0) / iters
     print(f"{label:8s} {dt * 1e3:9.3f} ms/iter", flush=True)
@@ -84,62 +89,70 @@ def main():
 
     results = {}
 
-    def make_embed():
-        @jax.jit
-        def step(acc, i):
-            p = patches0 + jnp.zeros((), patches0.dtype) * i
-            emb = model.apply(variables, p, method=GPT.embed_patches)
-            return acc + emb.astype(jnp.float32).sum()
+    @jax.jit
+    def embed_step(acc, i, variables, patches0):
+        p = patches0 + jnp.zeros((), patches0.dtype) * i
+        emb = model.apply(variables, p, method=GPT.embed_patches)
+        return acc + emb.astype(jnp.float32).sum()
 
-        return step
+    results["embed_ms"] = (
+        timed("embed", embed_step, iters, variables, patches0) * 1e3
+    )
 
-    results["embed_ms"] = timed("embed", make_embed, iters) * 1e3
+    @jax.jit
+    def decode_step(acc, i, variables, cache0, patches0, actions0, positions):
+        logits, _ = model.apply(
+            variables, cache0, patches0[:, 0], actions0,
+            positions, jnp.asarray(i * 0, jnp.int32),
+            method=GPT.decode_step,
+        )
+        return acc + logits.astype(jnp.float32).sum()
 
-    def make_decode():
-        @jax.jit
-        def step(acc, i):
-            logits, _ = model.apply(
-                variables, cache0, patches0[:, 0], actions0,
-                state0.positions, jnp.asarray(i * 0, jnp.int32),
-                method=GPT.decode_step,
-            )
-            return acc + logits.astype(jnp.float32).sum()
+    results["decode_ms"] = (
+        timed(
+            "decode", decode_step, iters, variables, cache0, patches0,
+            actions0, state0.positions,
+        )
+        * 1e3
+    )
 
-        return step
+    @jax.jit
+    def env_step(acc, i, images_d, boxes_d, state0, actions0):
+        env = NeedleEnv(
+            images_d, boxes_d, cfg.patch_size, trainer.max_ep_len, 1,
+            trainer.stop_enabled,
+        )
+        st, patches, rewards, term, _, _ = env.masked_step(
+            state0, jnp.mod(jnp.asarray(i, jnp.int32), 8) + actions0,
+            jnp.zeros((batch,), bool),
+        )
+        return (
+            acc
+            + patches.astype(jnp.float32).sum()
+            + rewards.astype(jnp.float32).sum()
+        )
 
-    results["decode_ms"] = timed("decode", make_decode, iters) * 1e3
+    results["env_ms"] = (
+        timed("env", env_step, iters, images_d, boxes_d, state0, actions0)
+        * 1e3
+    )
 
-    def make_env():
-        @jax.jit
-        def step(acc, i):
-            env = env_of()
-            st, patches, rewards, term, _, _ = env.masked_step(
-                state0, jnp.mod(jnp.asarray(i, jnp.int32), 8) + actions0,
-                jnp.zeros((batch,), bool),
-            )
-            return (
-                acc
-                + patches.astype(jnp.float32).sum()
-                + rewards.astype(jnp.float32).sum()
-            )
-
-        return step
-
-    results["env_ms"] = timed("env", make_env, iters) * 1e3
-
-    def make_scan():
-        @jax.jit
-        def step(acc, i):
-            out = trainer._rollout_scan(
-                variables, env_of(), jax.random.fold_in(key, i), sample=True
-            )
-            return acc + out["rewards"].astype(jnp.float32).sum()
-
-        return step
+    @jax.jit
+    def scan_step(acc, i, variables, images_d, boxes_d):
+        env = NeedleEnv(
+            images_d, boxes_d, cfg.patch_size, trainer.max_ep_len, 1,
+            trainer.stop_enabled,
+        )
+        out = trainer._rollout_scan(
+            variables, env, jax.random.fold_in(key, i), sample=True
+        )
+        return acc + out["rewards"].astype(jnp.float32).sum()
 
     scan_iters = max(1, iters // 5)
     results["scan_step_ms"] = (
-        timed("scan20", make_scan, scan_iters) / max_ep_len * 1e3
+        timed("scan20", scan_step, scan_iters, variables, images_d, boxes_d)
+        / max_ep_len
+        * 1e3
     )
     results["batch"] = batch
     results["embedder"] = embedder

@@ -11,14 +11,24 @@ any session can reproduce it deterministically:
 Takes ~4 min on one host core.
 """
 
+import argparse
+import pathlib
 import sys
 
-from jolineedle_tpu.data.toy import generate_toy_dataset
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from jolineedle_tpu.data.toy import generate_toy_dataset  # noqa: E402
 
 
-def main(out_dir: str = "/root/toyds_big") -> None:
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "out_dir", nargs="?", default="/root/toyds_big",
+        help="destination directory (default: /root/toyds_big)",
+    )
+    args = parser.parse_args()
     path = generate_toy_dataset(
-        out_dir,
+        args.out_dir,
         n_train=1500,
         n_test=150,
         image_size=(320, 448),
@@ -29,4 +39,4 @@ def main(out_dir: str = "/root/toyds_big") -> None:
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:2])
+    main()
