@@ -138,37 +138,66 @@ class NeedleDataset:
         return classes, boxes
 
     # --- geometric augmentation ------------------------------------------
+    # Each aug is split into a parameter SAMPLER (rng draw, box-geometry
+    # only) and two APPLIERS (pixels / boxes). The host pixel path composes
+    # all three; the device-pool path samples params + remaps boxes on the
+    # host and applies the pixel op on device inside the jitted train step
+    # (data/device_pool.py::aug_canvases), so geometric augs no longer
+    # force pixel streaming.
+
     @staticmethod
+    def sample_rotation(rng: np.random.Generator) -> int:
+        """Quarter-turns k in {0, 1, 2, 3} = 0/90/180/270 degrees (same rng
+        draw as the reference, reference: src/dataset.py:95-155)."""
+        return int(rng.integers(0, 4))
+
+    @staticmethod
+    def rotate_image(image: np.ndarray, k: int) -> np.ndarray:
+        """Apply a k-quarter-turn rotation to [H, W, C] pixels."""
+        if k == 0:
+            return image
+        if k == 1:
+            # (y, x) -> (x, H - y): clockwise; output [W, H, C].
+            image = np.flip(image.transpose(1, 0, 2), axis=1)
+        elif k == 2:
+            image = np.flip(image, axis=(0, 1))
+        else:  # 270
+            # (y, x) -> (W - x, y): counter-clockwise; output [W, H, C].
+            image = np.flip(image.transpose(1, 0, 2), axis=0)
+        return np.ascontiguousarray(image)
+
+    @staticmethod
+    def rotate_boxes(
+        boxes: np.ndarray, k: int, h: int, w: int
+    ) -> np.ndarray:
+        """Box remap for a k-quarter-turn rotation of an h x w image."""
+        if k == 0:
+            return boxes
+        x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+        if k == 1:
+            return np.stack([h - y2, x1, h - y1, x2], axis=1)
+        if k == 2:
+            return np.stack([w - x2, h - y2, w - x1, h - y1], axis=1)
+        return np.stack([y1, w - x2, y2, w - x1], axis=1)
+
+    @classmethod
     def rotate(
-        image: np.ndarray, boxes: np.ndarray, rng: np.random.Generator
+        cls, image: np.ndarray, boxes: np.ndarray, rng: np.random.Generator
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Random 0/90/180/270 rotation with box remap (reference:
         src/dataset.py:95-155). Image is [H, W, C]."""
         h, w = image.shape[:2]
-        angle = [0, 90, 180, 270][int(rng.integers(0, 4))]
-        if angle == 0:
+        k = cls.sample_rotation(rng)
+        if k == 0:
             return image, boxes
-        x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-        if angle == 90:
-            # (y, x) -> (x, H - y): clockwise; output [W, H, C].
-            image = np.flip(image.transpose(1, 0, 2), axis=1)
-            boxes = np.stack([h - y2, x1, h - y1, x2], axis=1)
-        elif angle == 180:
-            image = np.flip(image, axis=(0, 1))
-            boxes = np.stack([w - x2, h - y2, w - x1, h - y1], axis=1)
-        else:  # 270
-            # (y, x) -> (W - x, y): counter-clockwise; output [W, H, C].
-            image = np.flip(image.transpose(1, 0, 2), axis=0)
-            boxes = np.stack([y1, w - x2, y2, w - x1], axis=1)
-        return np.ascontiguousarray(image), boxes
+        return cls.rotate_image(image, k), cls.rotate_boxes(boxes, k, h, w)
 
     @staticmethod
-    def translate(
-        image: np.ndarray, boxes: np.ndarray, rng: np.random.Generator
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Random translation bounded by the bbox margins and a third of the
-        image (reference: src/dataset.py:157-226). Zero fill."""
-        h, w = image.shape[:2]
+    def sample_translation(
+        boxes: np.ndarray, h: int, w: int, rng: np.random.Generator
+    ) -> Tuple[int, int]:
+        """(tx, ty) shift bounded by the bbox margins and a third of the
+        image (reference: src/dataset.py:157-226)."""
         min_x = max(int(boxes[:, 0].min()), 0)
         min_y = max(int(boxes[:, 1].min()), 0)
         max_x = min(int(boxes[:, 2].max()), w)
@@ -179,15 +208,35 @@ class NeedleDataset:
         down = min(h // 3, h - max_y)
         tx = 0 if (left == 0 and right == 0) else int(rng.integers(-left, right))
         ty = 0 if (up == 0 and down == 0) else int(rng.integers(-up, down))
+        return tx, ty
 
+    @staticmethod
+    def translate_image(image: np.ndarray, tx: int, ty: int) -> np.ndarray:
+        """Shift pixels by (tx, ty) with zero fill."""
+        h, w = image.shape[:2]
         out = np.zeros_like(image)
         src_y = slice(max(0, -ty), h - max(0, ty))
         src_x = slice(max(0, -tx), w - max(0, tx))
         dst_y = slice(max(0, ty), h - max(0, -ty))
         dst_x = slice(max(0, tx), w - max(0, -tx))
         out[dst_y, dst_x] = image[src_y, src_x]
-        boxes = boxes + np.array([tx, ty, tx, ty], boxes.dtype)
-        return out, boxes
+        return out
+
+    @staticmethod
+    def translate_boxes(boxes: np.ndarray, tx: int, ty: int) -> np.ndarray:
+        return boxes + np.array([tx, ty, tx, ty], boxes.dtype)
+
+    @classmethod
+    def translate(
+        cls, image: np.ndarray, boxes: np.ndarray, rng: np.random.Generator
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Random translation bounded by the bbox margins and a third of the
+        image (reference: src/dataset.py:157-226). Zero fill."""
+        h, w = image.shape[:2]
+        tx, ty = cls.sample_translation(boxes, h, w, rng)
+        return cls.translate_image(image, tx, ty), cls.translate_boxes(
+            boxes, tx, ty
+        )
 
     def transform(
         self,
@@ -236,6 +285,74 @@ class NeedleDataset:
         boxes = boxes[[i for i, c in enumerate(classes) if c == class_id]]
         image, boxes = self.transform(image, boxes, rng)
         return {"image": image, "bboxes": boxes, "class_id": class_id}
+
+    def raw_size(self, index: int) -> Tuple[int, int]:
+        """(w, h) of the encoded image — header read only, no pixel decode."""
+        if not hasattr(self, "_raw_sizes"):
+            self._raw_sizes: Dict[int, Tuple[int, int]] = {}
+        size = self._raw_sizes.get(index)
+        if size is None:
+            with Image.open(self.image_paths[index]) as im:
+                size = im.size
+            self._raw_sizes[index] = size
+        return size
+
+    def get_geometry(
+        self, index: int, rng: Optional[np.random.Generator] = None
+    ) -> dict:
+        """Pixel-free ``__getitem__``: boxes, class, post-aug shape, and the
+        sampled augmentation parameters — consuming the SAME rng draws in
+        the same order as ``__getitem__``, so a caller that swaps one for
+        the other reproduces identical episodes. This is the device-pool
+        path (data/device_pool.py): pixels stay in HBM and the jitted train
+        step re-applies ``aug_rot``/``aug_shift`` on device.
+
+        Returns keys: ``bboxes`` (post-aug), ``class_id``, ``shape``
+        (post-aug padded H, W), ``base_hw`` (pre-aug padded H, W),
+        ``aug_rot`` (quarter-turns), ``aug_shift`` ((ty, tx) pixels).
+        """
+        if rng is None:
+            rng = self.rng
+        classes, boxes = self.get_all_bboxes(index)
+        class_id = int(rng.choice(classes)) if classes else 0
+        boxes = boxes[[i for i, c in enumerate(classes) if c == class_id]]
+
+        # Mirror transform()'s resize+pad box math without touching pixels.
+        w, h = self.raw_size(index)
+        if self.minimum_image_size and (
+            w < self.minimum_image_size or h < self.minimum_image_size
+        ):
+            ratio = w / h
+            ow, oh = w, h
+            if w < self.minimum_image_size:
+                w = self.minimum_image_size
+                h = int(w / ratio)
+            if h < self.minimum_image_size:
+                h = self.minimum_image_size
+                w = int(h * ratio)
+            boxes = boxes * np.array([w / ow, h / oh, w / ow, h / oh])
+        h_pad = -(-h // self.patch_size) * self.patch_size
+        w_pad = -(-w // self.patch_size) * self.patch_size
+
+        k = 0
+        ty = tx = 0
+        h2, w2 = h_pad, w_pad
+        if self.rotations and len(boxes):
+            k = self.sample_rotation(rng)
+            boxes = self.rotate_boxes(boxes, k, h_pad, w_pad)
+            if k % 2 == 1:
+                h2, w2 = w_pad, h_pad
+        if self.translations and len(boxes):
+            tx, ty = self.sample_translation(boxes, h2, w2, rng)
+            boxes = self.translate_boxes(boxes, tx, ty)
+        return {
+            "bboxes": boxes,
+            "class_id": class_id,
+            "shape": (h2, w2),
+            "base_hw": (h_pad, w_pad),
+            "aug_rot": k,
+            "aug_shift": (ty, tx),
+        }
 
     # --- collates -----------------------------------------------------------
     @staticmethod

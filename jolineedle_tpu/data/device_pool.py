@@ -11,14 +11,16 @@ batches then carry only sample indices and patch coordinates, and the
 jitted train step gathers patch pixels with ``vmap(lax.dynamic_slice)`` —
 the same pattern the batched env uses (env/batched_env.py:301-316).
 
-Eligibility: the pool stores post-transform pixels, so it requires the
-deterministic per-index pixel path — geometric augmentations
-(``--augment-rotate``/``--augment-translate`` reshuffle pixels per draw)
-disable it. Photometric augmentation is unaffected (it already runs on
-device inside the train step, ops/augment.py). Memory is capped by
-``JOLINEEDLE_POOL_BUDGET_MB`` (default 6144); datasets over budget (e.g.
-full LARD at ~39 GB) fall back to the streaming path automatically under
-``--device-data-cache auto``.
+The pool stores UN-augmented post-resize/pad pixels. Geometric
+augmentations (``--augment-rotate``/``--augment-translate``) are re-applied
+ON DEVICE inside the jitted train step (:func:`aug_canvases`): the host
+samples the parameters and remaps boxes/labels (data/dataset.py::
+get_geometry), the device replays the same integer pixel moves (rot90 =
+transpose/flip + roll, translate = roll + mask) on a fixed-shape canvas
+before the patch gather. Photometric augmentation already runs on device
+(ops/augment.py). Memory is capped by ``JOLINEEDLE_POOL_BUDGET_MB``
+(default 6144); datasets over budget (e.g. full LARD at ~39 GB) fall back
+to the streaming path automatically under ``--device-data-cache auto``.
 """
 
 from __future__ import annotations
@@ -77,18 +79,10 @@ class DeviceImagePool:
 
     @staticmethod
     def eligible(dataset, mode: str) -> bool:
-        """``--device-data-cache`` gate. ``on`` forces (raises if the
-        dataset's geometric augs make the pool incorrect), ``auto`` checks
-        augs + memory budget, ``off`` disables."""
+        """``--device-data-cache`` gate. ``on`` forces, ``auto`` checks the
+        memory budget, ``off`` disables. Geometric augs do NOT disqualify:
+        they are re-applied on device (:func:`aug_canvases`)."""
         if mode == "off":
-            return False
-        if dataset.rotations or dataset.translations:
-            if mode == "on":
-                raise ValueError(
-                    "--device-data-cache on is incompatible with geometric"
-                    " augmentation (--augment-rotate/--augment-translate):"
-                    " the pool stores fixed per-image pixels"
-                )
             return False
         if mode == "on":
             return True
@@ -115,7 +109,13 @@ class DeviceImagePool:
     @classmethod
     def build(cls, dataset, mesh) -> "DeviceImagePool":
         """Decode + transform every image once and ship it to HBM in small
-        slabs (wedge-safe, see _CHUNK_BYTES)."""
+        slabs (wedge-safe, see _CHUNK_BYTES). Pixels are stored
+        UN-augmented: geometric augs replay on device per batch
+        (:func:`aug_canvases`)."""
+        import copy
+
+        dataset = copy.copy(dataset)
+        dataset.rotations = dataset.translations = False
         n = len(dataset)
         rng = np.random.default_rng(0)  # pixels are rng-independent here
         shapes = np.zeros((n, 2), np.int32)
@@ -172,3 +172,143 @@ def gather_pool_patches(
         return jax.vmap(lambda q: one_patch(idx, q))(pos_k)
 
     return jax.vmap(one_image)(image_idx, positions)
+
+
+def aug_canvases(
+    pool_images: jax.Array,
+    image_idx: jax.Array,
+    rot_k: Optional[jax.Array],
+    shift: Optional[jax.Array],
+    base_hw: Optional[jax.Array],
+    out_hw: Optional[Tuple[int, int]] = None,
+) -> jax.Array:
+    """Gather a batch of pool images and replay the host geometric augs on
+    device: ``[B, Sh, Sw, C]`` canvases ready for patch gathering.
+
+    The host applies rotate-then-translate to the padded image
+    (data/dataset.py::transform); this replays the exact integer pixel
+    moves on a fixed-shape canvas:
+
+      * rotation by k quarter-turns: whole-canvas ``rot90`` (shape-safe on
+        the square canvas used whenever ``rot_k`` is given) followed by a
+        roll that moves the rotated image back to the canvas origin — e.g.
+        a clockwise turn of the h x w image lands at columns [S-h, S), so
+        roll columns left by S-h. Zeros outside the image region stay
+        zeros, so no mask is needed.
+      * translation by (ty, tx): ``roll`` + a mask zeroing the wrapped
+        strip — identical to the host's zero-filled shift for every pixel
+        inside the post-aug image region.
+      * a final crop mask zeroing everything beyond the POST-aug per-image
+        extent (h2, w2): the host operates on per-image arrays of exactly
+        that size, so pixels an aug pushes past the image edge are lost
+        there — on the larger shared canvas they would otherwise survive.
+
+    Args:
+        rot_k: [B] quarter-turns, or None when rotations are off (the
+            canvas then keeps the pool's rectangular shape).
+        shift: [B, 2] (ty, tx) pixel shifts, or None when translations off.
+        base_hw: [B, 2] PRE-aug padded dims — required whenever rot_k or
+            shift is given (re-origin rolls and the crop mask depend on
+            them).
+        out_hw: static output canvas dims; defaults to the square
+            max(Hpool, Wpool) when rotating, else (Hpool, Wpool).
+    """
+    n, hp, wp, c = pool_images.shape
+    if out_hw is None:
+        s = max(hp, wp)
+        out_hw = (s, s) if rot_k is not None else (hp, wp)
+    sh, sw = out_hw
+    assert sh >= hp and sw >= wp, "canvas smaller than pool images"
+    if rot_k is not None:
+        assert sh == sw, "rotation requires a square canvas"
+    if rot_k is not None or shift is not None:
+        assert base_hw is not None, "augs require base_hw for the crop mask"
+
+    def one(idx):
+        return lax.dynamic_slice(pool_images, (idx, 0, 0, 0), (1, hp, wp, c))[0]
+
+    imgs = jax.vmap(one)(image_idx)
+    imgs = jnp.pad(imgs, ((0, 0), (0, sh - hp), (0, sw - wp), (0, 0)))
+
+    def transform_one(img, k, sft, hw):
+        if rot_k is not None:
+            s = img.shape[0]
+            h, w = hw[0], hw[1]
+            img = lax.switch(
+                k,
+                [
+                    lambda x: x,
+                    # clockwise: image lands at cols [S-h, S); re-origin.
+                    lambda x: jnp.roll(
+                        jnp.rot90(x, k=-1, axes=(0, 1)), h - s, axis=1
+                    ),
+                    lambda x: jnp.roll(
+                        jnp.rot90(x, k=2, axes=(0, 1)),
+                        (h - s, w - s),
+                        axis=(0, 1),
+                    ),
+                    # counter-clockwise: image lands at rows [S-w, S).
+                    lambda x: jnp.roll(
+                        jnp.rot90(x, k=1, axes=(0, 1)), w - s, axis=0
+                    ),
+                ],
+                img,
+            )
+        if shift is not None:
+            ty, tx = sft[0], sft[1]
+            img = jnp.roll(img, (ty, tx), axis=(0, 1))
+            rows = jnp.arange(img.shape[0])
+            cols = jnp.arange(img.shape[1])
+            rvalid = (rows >= ty) & (rows < img.shape[0] + ty)
+            cvalid = (cols >= tx) & (cols < img.shape[1] + tx)
+            valid = rvalid[:, None, None] & cvalid[None, :, None]
+            img = img * valid.astype(img.dtype)
+        if rot_k is not None or shift is not None:
+            # Crop to the POST-aug per-image extent: the host's arrays end
+            # there, so anything the augs pushed past the edge is dropped.
+            h, w = hw[0], hw[1]
+            if rot_k is not None:
+                odd = k % 2 == 1
+                h2 = jnp.where(odd, w, h)
+                w2 = jnp.where(odd, h, w)
+            else:
+                h2, w2 = h, w
+            rows = jnp.arange(img.shape[0])
+            cols = jnp.arange(img.shape[1])
+            inside = (rows < h2)[:, None, None] & (cols < w2)[None, :, None]
+            img = img * inside.astype(img.dtype)
+        return img
+
+    b = imgs.shape[0]
+    if rot_k is None:
+        rot_k_in = jnp.zeros((b,), jnp.int32)
+    else:
+        rot_k_in = rot_k
+    if shift is None:
+        shift_in = jnp.zeros((b, 2), jnp.int32)
+    else:
+        shift_in = shift
+    if base_hw is None:
+        base_hw_in = jnp.zeros((b, 2), jnp.int32)
+    else:
+        base_hw_in = base_hw
+    return jax.vmap(transform_one)(imgs, rot_k_in, shift_in, base_hw_in)
+
+
+def gather_canvas_patches(
+    canvases: jax.Array, positions: jax.Array, patch_size: int
+) -> jax.Array:
+    """[B, K, P, P, C] uint8 patches from per-sample canvases, inside jit.
+
+    Same contract as :func:`gather_pool_patches` but reading each sample's
+    own (augmented) canvas instead of indexing the shared pool."""
+    p = patch_size
+    c = canvases.shape[-1]
+
+    def one_patch(img, pos):
+        return lax.dynamic_slice(img, (pos[0] * p, pos[1] * p, 0), (p, p, c))
+
+    def one_image(img, pos_k):
+        return jax.vmap(lambda q: one_patch(img, q))(pos_k)
+
+    return jax.vmap(one_image)(canvases, positions)

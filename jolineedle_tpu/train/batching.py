@@ -47,11 +47,14 @@ def build_supervised_sample(
     ``with_pixels=False`` is the device-pool path (data/device_pool.py):
     patch pixels stay in HBM and the jitted train step gathers them from
     ``positions``/``yolox_positions``, so the batch carries only geometry
-    and labels (KBs instead of MBs per iteration).
+    and labels (KBs instead of MBs per iteration). The item may then be a
+    pixel-free ``get_geometry`` dict (carrying ``shape`` instead of
+    ``image``).
     """
-    image = item["image"]  # [H, W, C] uint8 (float accepted, see to_u8)
+    image = item.get("image")  # [H, W, C] uint8 (float accepted, see to_u8)
+    shape = item["shape"] if image is None else image.shape[:2]
     boxes = np.asarray(item["bboxes"], np.float64).reshape(-1, 4)
-    env = OracleEnv(image.shape[:2], patch_size, boxes, rng)
+    env = OracleEnv(shape, patch_size, boxes, rng)
 
     sample = generate_sample(
         env,
@@ -105,24 +108,36 @@ def build_supervised_batch(
     with_pixels: bool = True,
 ) -> Dict[str, np.ndarray]:
     samples = []
+    has_augs = dataset.rotations or dataset.translations
     for idx in indices:
         # Forward the per-batch rng: class choice and rotate/translate augs
         # must not touch the dataset's shared (thread-unsafe) generator.
-        item = dataset.__getitem__(int(idx), rng)
-        samples.append(
-            build_supervised_sample(
-                item,
-                patch_size=config.patch_size,
-                max_seq_len=config.max_seq_len,
-                min_keypoints=config.min_keypoints,
-                max_keypoints=config.max_keypoints,
-                binomial_keypoints=config.binomial_keypoints,
-                max_det_patches=config.max_det_patches,
-                max_boxes=config.max_boxes,
-                rng=rng,
-                with_pixels=with_pixels,
-            )
+        # Pool path: geometry only — pixels never decode on this thread;
+        # get_geometry consumes the identical rng stream (data/dataset.py).
+        if with_pixels:
+            item = dataset.__getitem__(int(idx), rng)
+        else:
+            item = dataset.get_geometry(int(idx), rng)
+        sample = build_supervised_sample(
+            item,
+            patch_size=config.patch_size,
+            max_seq_len=config.max_seq_len,
+            min_keypoints=config.min_keypoints,
+            max_keypoints=config.max_keypoints,
+            binomial_keypoints=config.binomial_keypoints,
+            max_det_patches=config.max_det_patches,
+            max_boxes=config.max_boxes,
+            rng=rng,
+            with_pixels=with_pixels,
         )
+        if not with_pixels and has_augs:
+            # Device-side aug replay params (data/device_pool.py).
+            sample["base_hw"] = np.asarray(item["base_hw"], np.int32)
+            if dataset.rotations:
+                sample["aug_rot"] = np.int32(item["aug_rot"])
+            if dataset.translations:
+                sample["aug_shift"] = np.asarray(item["aug_shift"], np.int32)
+        samples.append(sample)
     batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
     batch["image_idx"] = np.asarray(indices, np.int32)
 

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.device_pool import DeviceImagePool
+from ..data.device_pool import DeviceImagePool, aug_canvases
 from ..env.batched_env import NeedleEnv
 from ..env.oracle import gather_patches
 from ..models.gpt import GPT
@@ -128,6 +128,23 @@ class ReinforceTrainer(Trainer):
             variables = {"params": params, "batch_stats": batch_stats}
             if "image" in batch:
                 images = batch["image"]
+            elif (
+                "aug_rot" in batch
+                or "aug_shift" in batch
+                or tuple(pool_images.shape[1:3]) != tuple(self.fixed_shape)
+            ):
+                # Device-pool path WITH geometric augs (or a pool padded
+                # smaller than the fixed training shape): replay the host's
+                # sampled rotate/translate on fixed-shape canvases
+                # (data/device_pool.py).
+                images = aug_canvases(
+                    pool_images,
+                    batch["image_idx"],
+                    batch.get("aug_rot"),
+                    batch.get("aug_shift"),
+                    batch.get("base_hw"),
+                    out_hw=tuple(self.fixed_shape),
+                )
             else:
                 # Device-pool path (data/device_pool.py): the whole dataset
                 # lives in HBM; materialize this batch's images by index —
@@ -262,6 +279,16 @@ class ReinforceTrainer(Trainer):
         self._window_stats = []
 
     # --- host batch assembly ----------------------------------------------------
+    @property
+    def fixed_shape(self):
+        """Static (H, W) every training image pads to — computed once from
+        image headers (see :func:`fixed_training_shape`)."""
+        if not hasattr(self, "_fixed_shape"):
+            self._fixed_shape = fixed_training_shape(
+                self.train_dataset, self.config.patch_size
+            )
+        return self._fixed_shape
+
     def _build_env_batch(
         self, indices, seed: int = 0, with_pixels: bool = True
     ) -> Dict[str, np.ndarray]:
@@ -276,16 +303,14 @@ class ReinforceTrainer(Trainer):
         only dataset indices + boxes and the jitted step materializes the
         images from the HBM pool (data/device_pool.py)."""
         cfg = self.config
-        if not hasattr(self, "_fixed_shape"):
-            self._fixed_shape = fixed_training_shape(
-                self.train_dataset, cfg.patch_size
-            )
-        hf, wf = self._fixed_shape
+        hf, wf = self.fixed_shape
+        ds = self.train_dataset
         rng = np.random.default_rng(seed)
         images, boxes = [], []
+        aug_rot, aug_shift, base_hw = [], [], []
         for idx in indices:
-            item = self.train_dataset.__getitem__(int(idx), rng)
             if with_pixels:
+                item = ds.__getitem__(int(idx), rng)
                 img = item["image"]  # uint8-native dataset
                 if img.dtype != np.uint8:  # float [0,1] fallback (tests)
                     img = np.clip(np.round(img * 255.0), 0, 255).astype(
@@ -295,6 +320,14 @@ class ReinforceTrainer(Trainer):
                 images.append(
                     np.pad(img, ((0, hf - h), (0, wf - w), (0, 0)))
                 )
+            else:
+                # Pool path: geometry only — no pixel decode; the jitted
+                # step replays the aug params on device
+                # (data/device_pool.py::aug_canvases).
+                item = ds.get_geometry(int(idx), rng)
+                aug_rot.append(item["aug_rot"])
+                aug_shift.append(item["aug_shift"])
+                base_hw.append(item["base_hw"])
             b = np.asarray(item["bboxes"], np.float32).reshape(-1, 4)[
                 : cfg.max_boxes
             ]
@@ -304,6 +337,12 @@ class ReinforceTrainer(Trainer):
             batch["image"] = np.stack(images)
         else:
             batch["image_idx"] = np.asarray(indices, np.int32)
+            if ds.rotations or ds.translations:
+                batch["base_hw"] = np.asarray(base_hw, np.int32)
+            if ds.rotations:
+                batch["aug_rot"] = np.asarray(aug_rot, np.int32)
+            if ds.translations:
+                batch["aug_shift"] = np.asarray(aug_shift, np.int32)
         return batch
 
     # --- train loop (reference: src/reinforce.py:267-362) -----------------------
@@ -342,14 +381,15 @@ class ReinforceTrainer(Trainer):
             self.train_dataset, getattr(cfg, "device_data_cache", "auto")
         ):
             pool = DeviceImagePool.build(self.train_dataset, self.mesh)
-            if not hasattr(self, "_fixed_shape"):
-                self._fixed_shape = fixed_training_shape(
-                    self.train_dataset, cfg.patch_size
-                )
-            if tuple(pool.images.shape[1:3]) != tuple(self._fixed_shape):
-                # The env is compiled for the dataset's fixed training
-                # shape; a mismatched pool pad would change program shapes.
-                print("device pool: pad shape mismatch, streaming instead")
+            # A pool padded smaller than the fixed training shape (or any
+            # geometric augs) is handled inside the jitted step via
+            # aug_canvases; a pool that somehow exceeds it cannot fit the
+            # compiled env program.
+            hp, wp = pool.images.shape[1:3]
+            hf, wf = self.fixed_shape
+            if hp > hf or wp > wf:
+                print("device pool: pad shape exceeds fixed training shape,"
+                      " streaming instead")
                 pool = None
 
         # N iterations per jitted dispatch (--steps-per-dispatch). The

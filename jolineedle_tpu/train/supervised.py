@@ -27,7 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.device_pool import DeviceImagePool, gather_pool_patches
+from ..data.device_pool import (
+    DeviceImagePool,
+    aug_canvases,
+    gather_canvas_patches,
+    gather_pool_patches,
+)
 from ..env import Action
 from ..env.batched_env import NeedleEnv
 from ..env.oracle import OracleEnv, gather_patches, move_towards
@@ -85,8 +90,23 @@ class SupervisedTrainer(Trainer):
 
         def loss_fn(params, batch_stats, batch, rng, pool_images):
             k_aug1, k_aug2, k_drop = jax.random.split(rng, 3)
+            canvases = None
             if "patches" in batch:
                 raw_patches = batch["patches"]
+            elif "aug_rot" in batch or "aug_shift" in batch:
+                # Device-pool path WITH geometric augs: replay the host's
+                # sampled rotate/translate on fixed-shape canvases, then
+                # gather patches from them (data/device_pool.py).
+                canvases = aug_canvases(
+                    pool_images,
+                    batch["image_idx"],
+                    batch.get("aug_rot"),
+                    batch.get("aug_shift"),
+                    batch.get("base_hw"),
+                )
+                raw_patches = gather_canvas_patches(
+                    canvases, batch["positions"], cfg.patch_size
+                )
             else:
                 # Device-pool path: pixels never left HBM; gather them here
                 # from the episode's patch coords (data/device_pool.py).
@@ -124,12 +144,17 @@ class SupervisedTrainer(Trainer):
                 if "patches_yolox" in batch:
                     raw_det = batch["patches_yolox"]
                 else:
-                    raw_det = gather_pool_patches(
-                        pool_images,
-                        batch["image_idx"],
-                        batch["yolox_positions"],
-                        cfg.patch_size,
-                    )
+                    if canvases is not None:
+                        raw_det = gather_canvas_patches(
+                            canvases, batch["yolox_positions"], cfg.patch_size
+                        )
+                    else:
+                        raw_det = gather_pool_patches(
+                            pool_images,
+                            batch["image_idx"],
+                            batch["yolox_positions"],
+                            cfg.patch_size,
+                        )
                     # Host path zeroes the padding patches at gather time.
                     raw_det = raw_det * batch["yolox_valid"][
                         :, :, None, None, None

@@ -144,6 +144,119 @@ def test_pool_train_step_equals_streaming_step(dataset):
         )
 
 
+@pytest.mark.parametrize(
+    "rotations,translations",
+    [(True, False), (False, True), (True, True)],
+    ids=["rotate", "translate", "both"],
+)
+def test_device_aug_gather_matches_host(dataset, rotations, translations):
+    """Geometric augs replayed on device == host-transformed pixel gather.
+
+    Same rng stream: the host path decodes + rotates/translates pixels then
+    gathers patches; the pool path ships only (aug_rot, aug_shift) and the
+    jitted step rebuilds the canvases (data/device_pool.py::aug_canvases).
+    Patches must be bit-identical."""
+    import copy
+
+    import jax.numpy as jnp
+
+    from jolineedle_tpu.data.device_pool import (
+        DeviceImagePool,
+        aug_canvases,
+        gather_canvas_patches,
+    )
+    from jolineedle_tpu.parallel.mesh import make_mesh
+    from jolineedle_tpu.train.batching import build_supervised_batch
+
+    ds, cfg = dataset
+    ds = copy.copy(ds)
+    ds.rotations, ds.translations = rotations, translations
+    mesh = make_mesh([0])
+    pool = DeviceImagePool.build(ds, mesh)  # stores UN-augmented pixels
+
+    indices = [0, 3, 5, 1, 2, 4]
+    with_px = build_supervised_batch(
+        ds, indices, cfg, np.random.default_rng(23), with_pixels=True
+    )
+    no_px = build_supervised_batch(
+        ds, indices, cfg, np.random.default_rng(23), with_pixels=False
+    )
+    # Identical rng stream -> identical episodes either way (get_geometry
+    # consumes the same draws as __getitem__).
+    np.testing.assert_array_equal(no_px["positions"], with_px["positions"])
+    np.testing.assert_array_equal(
+        no_px["reference_actions"], with_px["reference_actions"]
+    )
+    assert ("aug_rot" in no_px) == rotations
+    assert ("aug_shift" in no_px) == translations
+
+    canvases = jax.jit(
+        lambda pi, idx, rot, sft, hw: aug_canvases(pi, idx, rot, sft, hw)
+    )(
+        pool.images,
+        jnp.asarray(no_px["image_idx"]),
+        jnp.asarray(no_px["aug_rot"]) if rotations else None,
+        jnp.asarray(no_px["aug_shift"]) if translations else None,
+        jnp.asarray(no_px["base_hw"]),
+    )
+    got = jax.device_get(
+        gather_canvas_patches(
+            canvases, jnp.asarray(no_px["positions"]), cfg.patch_size
+        )
+    )
+    np.testing.assert_array_equal(got, with_px["patches"])
+
+    det = jax.device_get(
+        gather_canvas_patches(
+            canvases, jnp.asarray(no_px["yolox_positions"]), cfg.patch_size
+        )
+    )
+    det = det * no_px["yolox_valid"][:, :, None, None, None].astype(det.dtype)
+    np.testing.assert_array_equal(det, with_px["patches_yolox"])
+
+
+def test_device_aug_rl_batch_matches_host(dataset):
+    """RL pool batches: get_geometry boxes == __getitem__ boxes under augs,
+    and the canvas at the fixed training shape == the host-padded image."""
+    import copy
+
+    import jax.numpy as jnp
+
+    from jolineedle_tpu.data.device_pool import (
+        DeviceImagePool,
+        aug_canvases,
+    )
+    from jolineedle_tpu.models.gpt import GPT
+    from jolineedle_tpu.env import get_actions_info
+    from jolineedle_tpu.train.reinforce import ReinforceTrainer
+
+    ds, sup_cfg = dataset
+    cfg = copy.deepcopy(sup_cfg)
+    cfg.training_mode = "reinforce"
+    ds = copy.copy(ds)
+    ds.rotations = ds.translations = True
+    model_config = main_model_config(cfg)
+    model = GPT.from_config(model_config, get_actions_info(cfg))
+    trainer = ReinforceTrainer(cfg, model, None, ds, ds)
+    pool = DeviceImagePool.build(ds, trainer.mesh)
+
+    with_px = trainer._build_env_batch([1, 4, 0], seed=7, with_pixels=True)
+    no_px = trainer._build_env_batch([1, 4, 0], seed=7, with_pixels=False)
+    np.testing.assert_array_equal(no_px["bboxes"], with_px["bboxes"])
+
+    canvases = jax.device_get(
+        aug_canvases(
+            pool.images,
+            jnp.asarray(no_px["image_idx"]),
+            jnp.asarray(no_px["aug_rot"]),
+            jnp.asarray(no_px["aug_shift"]),
+            jnp.asarray(no_px["base_hw"]),
+            out_hw=tuple(trainer.fixed_shape),
+        )
+    )
+    np.testing.assert_array_equal(canvases, with_px["image"])
+
+
 def main_model_config(train_config):
     """Tiny gpt-nano model config consistent with the dataset fixture."""
     from jolineedle_tpu.config import get_args, args_to_config
@@ -227,11 +340,11 @@ def test_eligibility_gating(dataset, monkeypatch):
     assert not dp.DeviceImagePool.eligible(ds, "auto")
     monkeypatch.delenv("JOLINEEDLE_POOL_BUDGET_MB")
 
-    # Geometric augs invalidate fixed per-index pixels.
+    # Geometric augs no longer disqualify: they replay on device
+    # (aug_canvases); the pool stores un-augmented pixels.
     ds.rotations = True
     try:
-        assert not dp.DeviceImagePool.eligible(ds, "auto")
-        with pytest.raises(ValueError, match="geometric"):
-            dp.DeviceImagePool.eligible(ds, "on")
+        assert dp.DeviceImagePool.eligible(ds, "auto")
+        assert dp.DeviceImagePool.eligible(ds, "on")
     finally:
         ds.rotations = False
