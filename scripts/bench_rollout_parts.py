@@ -89,6 +89,20 @@ def main():
 
     results = {}
 
+    # Control cell: a near-no-op program taking the SAME param tree as the
+    # model cells. On the tunneled runtime, dispatch cost grows with the
+    # number of argument handles serialized per RPC (the param tree is
+    # hundreds of leaves), so this measures the per-dispatch floor that the
+    # embed/decode cells pay and the 20-step scan amortizes.
+    @jax.jit
+    def dispatch_step(acc, i, variables):
+        leaf = jax.tree_util.tree_leaves(variables)[0]
+        return acc + leaf.astype(jnp.float32).sum() * 0 + i
+
+    results["dispatch_ms"] = (
+        timed("dispatch", dispatch_step, iters, variables) * 1e3
+    )
+
     @jax.jit
     def embed_step(acc, i, variables, patches0):
         p = patches0 + jnp.zeros((), patches0.dtype) * i
