@@ -540,7 +540,14 @@ class ReinforceTrainer(Trainer):
 
     def compute_rollout_metrics(self, ro: Dict[str, np.ndarray]) -> Dict[str, float]:
         """Host-side metric computation on a fetched rollout (reference:
-        src/reinforce.py:217-265)."""
+        src/reinforce.py:217-265). Expects a SINGLE-row rollout (one
+        episode): the ``[0]`` reads below would silently report only the
+        first row of a multi-row rollout."""
+        if np.shape(ro["rewards"])[0] != 1:
+            raise ValueError(
+                "compute_rollout_metrics expects a single-episode rollout;"
+                f" got batch {np.shape(ro['rewards'])[0]}"
+            )
         cfg = self.config
         masks = ro["logit_masks"]
         returns = ro["returns"]
@@ -571,22 +578,98 @@ class ReinforceTrainer(Trainer):
             )
         return metrics
 
+    def _batched_detection_batches(self, items):
+        """Per-image detection batches (all positive patches), sampled by the
+        env in per-shape BATCHED dispatches (vs. one env dispatch per image).
+        Returns per item: (patches [K, P, P, C], targets [K, N, 6],
+        valid [K]) as numpy."""
+        cfg = self.config
+        if not hasattr(self, "_det_batch_fns"):
+            self._det_batch_fns = {}
+        groups = defaultdict(list)
+        for i, item in enumerate(items):
+            groups[item["image"].shape].append(i)
+
+        results = [None] * len(items)
+        for shape, ids in groups.items():
+            if shape not in self._det_batch_fns:
+
+                @jax.jit
+                def det_batch_fn(images, boxes, key):
+                    env = NeedleEnv(
+                        images,
+                        boxes,
+                        cfg.patch_size,
+                        self.max_ep_len,
+                        1,
+                        self.stop_enabled,
+                    )
+                    return env.get_detection_batch(
+                        key, cfg.max_det_patches, sample_neg=0
+                    )
+
+                self._det_batch_fns[shape] = det_batch_fn
+            fn = self._det_batch_fns[shape]
+
+            chunk_size = min(len(ids), self.EVAL_CHUNK)
+            for start in range(0, len(ids), chunk_size):
+                chunk = ids[start : start + chunk_size]
+                n_real = len(chunk)
+                chunk = chunk + [chunk[-1]] * (chunk_size - n_real)
+                images = np.stack([items[i]["image"] for i in chunk])
+                boxes = np.zeros((len(chunk), cfg.max_boxes, 4), np.float32)
+                for j, i in enumerate(chunk):
+                    b = np.asarray(
+                        items[i]["bboxes"], np.float32
+                    ).reshape(-1, 4)
+                    boxes[j, : min(len(b), cfg.max_boxes)] = b[: cfg.max_boxes]
+                patches, targets, valid = jax.device_get(
+                    fn(
+                        jnp.asarray(images),
+                        jnp.asarray(boxes),
+                        jax.random.PRNGKey(0),
+                    )
+                )
+                for j, i in enumerate(chunk[:n_real]):
+                    results[i] = (patches[j], targets[j], valid[j])
+        return results
+
+    def _traj_det_request(self, item: dict, ro: dict):
+        """Trajectory-detection request for one eval image: the visited
+        patches, padded to max_ep_len+1 (fixed shape). Consumed batched
+        across images by ``_batched_patch_detections``."""
+        cfg = self.config
+        positions = ro["positions"][0]  # [T+1, 2]
+        n_valid = int(ro["masks"][0].sum())
+        patches = gather_patches(
+            item["image"], positions[:n_valid], cfg.patch_size
+        )
+        T_pad = self.max_ep_len + 1
+        patches_padded = np.zeros((T_pad,) + patches.shape[1:], patches.dtype)
+        patches_padded[:n_valid] = patches
+        return (
+            {"patches": patches_padded, "valid": np.arange(T_pad) < n_valid},
+            patches,
+        )
+
     def eval_on_sample(
         self,
         item: dict,
         plot_traj: bool = False,
         sample_actions: bool = False,
         rollout: Optional[dict] = None,
+        dets: Optional[dict] = None,
     ):
         """Rollout + detection metrics on one image (reference:
-        src/reinforce.py:417-493)."""
+        src/reinforce.py:417-493).
+
+        ``dets`` optionally carries precomputed batched detection results
+        (keys ``traj``, ``batch``, ``batch_det`` — see :meth:`test`); when
+        absent, singleton batched calls are issued (the standalone path)."""
         cfg = self.config
         image = item["image"]
         boxes = np.asarray(item["bboxes"], np.float32).reshape(-1, 4)
-        boxes_padded = np.zeros((cfg.max_boxes, 4), np.float32)
-        boxes_padded[: min(len(boxes), cfg.max_boxes)] = boxes[: cfg.max_boxes]
 
-        variables = self.eval_variables()
         if rollout is None:
             rollout = self._batched_eval_rollouts(
                 [{"image": image, "boxes": boxes}], sample_actions
@@ -597,7 +680,6 @@ class ReinforceTrainer(Trainer):
         positions = ro["positions"][0]  # [T+1, 2]
         masks = ro["masks"][0]  # [T+1]
         n_valid = int(masks.sum())
-        patches = gather_patches(image, positions[:n_valid], cfg.patch_size)
 
         full_img_preds = [None]
         full_img_targets = [
@@ -606,19 +688,19 @@ class ReinforceTrainer(Trainer):
                 axis=1,
             )
         ]
+        if cfg.detection_enabled or plot_traj:
+            traj_req, patches = self._traj_det_request(item, ro)
+        else:
+            patches = gather_patches(image, positions[:n_valid], cfg.patch_size)
         if cfg.detection_enabled:
-            # Detection along the trajectory: one batched call over the
-            # visited patches (vs. the reference's per-step yolox calls,
-            # reference: src/reinforce.py:141-167), padded to a fixed length
-            # so every episode hits the same compiled program.
-            T_pad = self.max_ep_len + 1
-            patches_padded = np.zeros(
-                (T_pad,) + patches.shape[1:], patches.dtype
-            )
-            patches_padded[:n_valid] = patches
-            head_out = jax.device_get(
-                self._yolox_predict(variables, jnp.asarray(patches_padded))
-            )
+            # Detection along the trajectory: batched ACROSS images when
+            # called from test() (vs. the reference's per-step yolox calls,
+            # reference: src/reinforce.py:141-167).
+            if dets is not None:
+                traj_det = dets["traj"]
+            else:
+                traj_det = self._batched_patch_detections([traj_req])[0]
+            head_out = traj_det["head"]
             traj_preds = postprocess(
                 head_out["boxes"],
                 sigmoid_np(head_out["obj_logits"]),
@@ -642,50 +724,32 @@ class ReinforceTrainer(Trainer):
                 metrics[name] = value
 
             # Full-image detector metrics on all positive patches (reference:
-            # src/reinforce.py:469-479). Jitted and cached per image shape —
-            # building the env eagerly would dispatch per-op on the device.
-            if not hasattr(self, "_det_batch_fns"):
-                self._det_batch_fns = {}
-            if image.shape not in self._det_batch_fns:
-
-                @jax.jit
-                def det_batch_fn(images, boxes, key):
-                    env = NeedleEnv(
-                        images,
-                        boxes,
-                        cfg.patch_size,
-                        self.max_ep_len,
-                        1,
-                        self.stop_enabled,
-                    )
-                    return env.get_detection_batch(
-                        key, cfg.max_det_patches, sample_neg=0
-                    )
-
-                self._det_batch_fns[image.shape] = det_batch_fn
-            det_patches, det_targets, det_valid = jax.device_get(
-                self._det_batch_fns[image.shape](
-                    jnp.asarray(image)[None],
-                    jnp.asarray(boxes_padded)[None],
-                    jax.random.PRNGKey(0),
+            # src/reinforce.py:469-479). The env's patch sampler runs as a
+            # per-shape BATCHED dispatch and the detector+losses as chunked
+            # batched dispatches across images (see test()); the standalone
+            # path builds singleton batches the same way.
+            if dets is not None:
+                det_patches, det_targets, det_valid = dets["batch"]
+                det_result = dets["batch_det"]
+            else:
+                det_patches, det_targets, det_valid = (
+                    self._batched_detection_batches([item])[0]
                 )
-            )
-            k_valid = det_valid[0].astype(bool)
+                det_result = None
+            k_valid = det_valid.astype(bool)
             if k_valid.any():
-                # Fixed-shape call over the padded patch set; padding masked.
-                # Losses consume the on-device head outputs; the host fetch
-                # happens once (tunneled-TPU transfers are the eval cost).
-                det_head_dev = self._yolox_predict(
-                    variables, jnp.asarray(det_patches[0])
-                )
-                ylo = jax.device_get(
-                    self._yolox_losses(
-                        det_head_dev,
-                        jnp.asarray(det_targets[0]),
-                        jnp.asarray(k_valid),
-                    )
-                )
-                det_head = jax.device_get(det_head_dev)
+                if det_result is None:
+                    det_result = self._batched_patch_detections(
+                        [
+                            {
+                                "patches": det_patches,
+                                "targets": det_targets,
+                                "valid": k_valid,
+                            }
+                        ]
+                    )[0]
+                ylo = det_result["losses"]
+                det_head = det_result["head"]
                 det_preds = postprocess(
                     det_head["boxes"],
                     sigmoid_np(det_head["obj_logits"]),
@@ -695,7 +759,7 @@ class ReinforceTrainer(Trainer):
                 )
                 det_preds = [p for p, v in zip(det_preds, k_valid) if v]
                 det_gts = []
-                for rows, v in zip(det_targets[0], k_valid):
+                for rows, v in zip(det_targets, k_valid):
                     if not v:
                         continue
                     keep = rows[rows[:, 5] == 1]
@@ -751,10 +815,38 @@ class ReinforceTrainer(Trainer):
             [{"image": it["image"], "boxes": it["bboxes"]} for it in items],
             sample_actions,
         )
+        # Batched detection across the whole eval set: trajectory patches,
+        # env-sampled detection batches, and detector+losses all run as
+        # O(images/chunk) fixed-shape dispatches instead of O(images)
+        # (round-2 verdict item: full-test validation paid hundreds of
+        # per-image round trips on the tunneled chip).
+        dets_list = [None] * len(items)
+        if self.config.detection_enabled:
+            traj_dets = self._batched_patch_detections(
+                [
+                    self._traj_det_request(it, ro)[0]
+                    for it, ro in zip(items, rollouts)
+                ]
+            )
+            batches = self._batched_detection_batches(items)
+            batch_dets = self._batched_patch_detections(
+                [
+                    {"patches": p, "targets": t, "valid": v}
+                    for p, t, v in batches
+                ]
+            )
+            dets_list = [
+                {"traj": td, "batch": b, "batch_det": bd}
+                for td, b, bd in zip(traj_dets, batches, batch_dets)
+            ]
         for loop_id, item in enumerate(items):
             plot_traj = loop_id in visual_ids
             metrics, plot_image = self.eval_on_sample(
-                item, plot_traj, sample_actions, rollout=rollouts[loop_id]
+                item,
+                plot_traj,
+                sample_actions,
+                rollout=rollouts[loop_id],
+                dets=dets_list[loop_id],
             )
             if plot_traj:
                 plot_images["model_images"].append(plot_image)

@@ -69,6 +69,23 @@ def action_ce_metrics(logits, targets, masks, class_weight):
     return action_loss, accuracy
 
 
+def action_ce_metrics_np(logits, targets, masks, class_weight):
+    """Numpy twin of :func:`action_ce_metrics` for host-side eval metric
+    assembly (a jnp call here would issue per-episode eager RPCs on a
+    tunneled runtime)."""
+    logits = np.asarray(logits, np.float32).reshape(-1, logits.shape[-1])
+    targets = np.asarray(targets).reshape(-1)
+    mask = np.asarray(masks, np.float32).reshape(-1)
+    shifted = logits - logits.max(axis=1, keepdims=True)
+    logp = shifted - np.log(np.exp(shifted).sum(axis=1, keepdims=True))
+    nll = -logp[np.arange(len(targets)), targets]
+    nll = nll * np.asarray(class_weight)[targets]
+    denom = max(mask.sum(), 1.0)
+    action_loss = float((nll * mask).sum() / denom)
+    accuracy = float(((logits.argmax(-1) == targets) * mask).sum() / denom)
+    return action_loss, accuracy
+
+
 class SupervisedTrainer(Trainer):
     best_metric_name = "map"
 
@@ -79,6 +96,7 @@ class SupervisedTrainer(Trainer):
         if config.stop_enabled:
             weight[Action.STOP.value] = config.stop_weight
         self.class_weight = jnp.asarray(weight)
+        self.class_weight_np = weight  # host copy for eval-side metrics
         self._train_step = self._build_train_step()
 
     # --- jitted train step ----------------------------------------------------
@@ -457,7 +475,6 @@ class SupervisedTrainer(Trainer):
             env = OracleEnv(image.shape[:2], cfg.patch_size, boxes)
         env.reset(position)
 
-        variables = self.eval_variables()
         if rollout is None:
             if sample_rng is None:
                 sample_rng = np.random.default_rng(0)
@@ -476,6 +493,21 @@ class SupervisedTrainer(Trainer):
         else:
             ro = rollout
 
+        rep = self._replay_episode(item, env, rollout=ro, max_ep_len=max_ep_len)
+        det = self._batched_patch_detections([rep["det_request"]])[0]
+        return self._finish_episode(rep, det)
+
+    def _replay_episode(self, item: dict, env: OracleEnv, rollout: dict,
+                        max_ep_len: int) -> dict:
+        """Host stage of the autoregressive eval: oracle replay for optimal
+        labels + the episode's padded detection request. Detection itself is
+        batched ACROSS episodes afterwards (``_batched_patch_detections``),
+        so full-set validation issues O(set/chunk) detector dispatches
+        instead of O(images) (the reference evals per image from a host
+        loop, reference: src/supervised.py:279-405)."""
+        cfg = self.config
+        image = item["image"]
+        ro = rollout
         step_masks = ro["logit_masks"][0].astype(bool)  # [T-1]
         n_steps = int(step_masks.sum())
         taken = ro["actions"][0][:n_steps]
@@ -495,16 +527,11 @@ class SupervisedTrainer(Trainer):
             positions.append(env.position)
             labels.append(env.position in env.bbox_patches)
 
-        # Detection on the visited patches: ONE fixed-shape batched call
-        # (padded to test_max_seq_len so every episode length hits the same
-        # compiled program), unlike the reference's per-patch loop.
         visited = np.array(positions, np.int32)
         n_visited = len(visited)
         T_pad = max(max_ep_len, n_visited)
         patches = gather_patches(image, visited, cfg.patch_size)
-        patches_padded = np.zeros(
-            (T_pad,) + patches.shape[1:], patches.dtype
-        )
+        patches_padded = np.zeros((T_pad,) + patches.shape[1:], patches.dtype)
         patches_padded[:n_visited] = patches
         patch_valid = np.arange(T_pad) < n_visited
         local_bboxes = np.zeros((T_pad, cfg.max_boxes, 6), np.float32)
@@ -514,17 +541,33 @@ class SupervisedTrainer(Trainer):
             )
             local_bboxes[i, : len(local)] = local
 
-        # Losses run on the device outputs directly; ONE host fetch of the
-        # head tensors (no host->device re-upload on the tunneled TPU link).
-        head_dev = self._yolox_predict(variables, jnp.asarray(patches_padded))
-        yolo_loss = jax.device_get(
-            self._yolox_losses(
-                head_dev,
-                jnp.asarray(local_bboxes),
-                jnp.asarray(patch_valid),
-            )
-        )
-        head_out = jax.device_get(head_dev)
+        return {
+            "visited": visited,
+            "n_visited": n_visited,
+            "patches": patches,
+            "true_actions": true_actions,
+            "pred_logits": pred_logits,
+            "labels": labels,
+            "stopped_inside_bbox": float(labels[-1]),
+            "prop_patches_found": (
+                len(env.visited_bbox_patches) / len(env.bbox_patches)
+                if len(env.bbox_patches) > 0
+                else 0.0
+            ),
+            "local_bboxes": local_bboxes,
+            "det_request": {
+                "patches": patches_padded,
+                "targets": local_bboxes,
+                "valid": patch_valid,
+            },
+        }
+
+    def _finish_episode(self, rep: dict, det: dict) -> tuple:
+        """Assemble (sample, metrics, bbox_outs) from a replay + its batched
+        detection result."""
+        cfg = self.config
+        n_visited = rep["n_visited"]
+        head_out = det["head"]
         bbox_outs = postprocess(
             head_out["boxes"],
             sigmoid_np(head_out["obj_logits"]),
@@ -532,34 +575,30 @@ class SupervisedTrainer(Trainer):
             conf_threshold=self.model.detector_conf_threshold,
             patch_size=cfg.patch_size,
         )[:n_visited]
-        local_bboxes = local_bboxes[:n_visited]
+        local_bboxes = rep["local_bboxes"][:n_visited]
 
         metrics = {}
-        if pred_logits:
-            logits_arr = jnp.asarray(np.stack(pred_logits))[None]
-            targets_arr = jnp.asarray(np.array(true_actions))[None]
-            masks_arr = jnp.ones_like(targets_arr, jnp.float32)
-            al, acc = action_ce_metrics(
-                logits_arr, targets_arr, masks_arr, self.class_weight
+        if rep["pred_logits"]:
+            logits_arr = np.stack(rep["pred_logits"])[None]
+            targets_arr = np.array(rep["true_actions"])[None]
+            masks_arr = np.ones_like(targets_arr, np.float32)
+            al, acc = action_ce_metrics_np(
+                logits_arr, targets_arr, masks_arr, self.class_weight_np
             )
-            metrics["action_loss"] = float(al)
-            metrics["action_accuracy"] = float(acc)
-        metrics["episode_length"] = float(len(positions))
-        for name, value in yolo_loss.items():
+            metrics["action_loss"] = al
+            metrics["action_accuracy"] = acc
+        metrics["episode_length"] = float(n_visited)
+        for name, value in det["losses"].items():
             metrics[f"yolo_{name}"] = float(value)
         metrics["yolo_loss"] = metrics["yolo_total_loss"]
         metrics["loss"] = metrics.get("action_loss", 0.0) + metrics["yolo_loss"]
-        metrics["stopped_inside_bbox"] = float(labels[-1])
-        metrics["prop_patches_found"] = (
-            len(env.visited_bbox_patches) / len(env.bbox_patches)
-            if len(env.bbox_patches) > 0
-            else 0.0
-        )
+        metrics["stopped_inside_bbox"] = rep["stopped_inside_bbox"]
+        metrics["prop_patches_found"] = rep["prop_patches_found"]
 
         sample = {
-            "positions": visited,
-            "patches": patches,
-            "masks": np.ones((len(visited),), np.float32),
+            "positions": rep["visited"],
+            "patches": rep["patches"],
+            "masks": np.ones((n_visited,), np.float32),
             "local_bboxes": local_bboxes,
         }
         return sample, metrics, bbox_outs
@@ -668,21 +707,32 @@ class SupervisedTrainer(Trainer):
 
         rollouts = self._batched_eval_rollouts(rows, sample_actions)
 
+        # Host oracle replays (row order), then ONE batched detection pass
+        # over every episode's padded patch set: final validation of the
+        # whole test set issues O(episodes / chunk) detector dispatches
+        # instead of O(episodes).
+        reps = []
+        row_id = 0
+        for loop_id, item, env, positions in episodes:
+            for position in positions:
+                env.reset(position)
+                reps.append(
+                    self._replay_episode(
+                        item, env, rollouts[row_id], cfg.test_max_seq_len
+                    )
+                )
+                row_id += 1
+        dets = self._batched_patch_detections(
+            [rep["det_request"] for rep in reps]
+        )
+
         row_id = 0
         for loop_id, item, env, positions in episodes:
             seed = loop_id
             all_samples, all_bboxes = [], []
             for position in positions:
-                env.reset(position)
-                sample, metrics, bboxes = self.test_model_on_env(
-                    item,
-                    cfg.test_max_seq_len,
-                    item["class_id"],
-                    sample_actions,
-                    position,
-                    env=env,
-                    sample_rng=np.random.default_rng(seed),
-                    rollout=rollouts[row_id],
+                sample, metrics, bboxes = self._finish_episode(
+                    reps[row_id], dets[row_id]
                 )
                 row_id += 1
                 all_samples.append(sample)
@@ -766,21 +816,23 @@ class SupervisedTrainer(Trainer):
         for start in range(0, len(env_ids), bs):
             ids = env_ids[start : start + bs]
             batch = build_supervised_batch(dataset, ids, cfg, rng)
-            logits = self._forward(
-                variables,
-                jnp.asarray(batch["patches"]),
-                jnp.asarray(batch["current_actions"]),
-                jnp.asarray(batch["class_id"]),
-                jnp.asarray(batch["positions"]),
+            logits = jax.device_get(
+                self._forward(
+                    variables,
+                    jnp.asarray(batch["patches"]),
+                    jnp.asarray(batch["current_actions"]),
+                    jnp.asarray(batch["class_id"]),
+                    jnp.asarray(batch["positions"]),
+                )
             )
-            al, acc = action_ce_metrics(
+            al, acc = action_ce_metrics_np(
                 logits,
-                jnp.asarray(batch["reference_actions"]),
-                jnp.asarray(batch["masks"]),
-                self.class_weight,
+                batch["reference_actions"],
+                batch["masks"],
+                self.class_weight_np,
             )
-            all_metrics["action_loss"].append(float(al))
-            all_metrics["action_accuracy"].append(float(acc))
+            all_metrics["action_loss"].append(al)
+            all_metrics["action_accuracy"].append(acc)
             all_metrics["episode_length"].append(
                 float(batch["masks"].sum(axis=1).mean())
             )

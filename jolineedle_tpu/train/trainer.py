@@ -310,6 +310,116 @@ class Trainer:
     ):
         raise NotImplementedError
 
+    # --- batched eval detection (shared by both trainers' eval paths) --------
+    #: Cap on total patches per batched detection dispatch (chunk rows so
+    #: chunk_rows * K <= this; bounds eval activation memory independently
+    #: of test-set size).
+    DET_EVAL_PATCHES = 256
+
+    def _get_batched_det_fn(self, K: int, with_losses: bool):
+        """Jitted detector pass over stacked episodes: [n, K, P, P, C] ->
+        per-episode head outputs (+ per-episode SimOTA losses when targets
+        are supplied, via ``vmap`` over the episode axis)."""
+        if not hasattr(self, "_batched_det_fns"):
+            self._batched_det_fns = {}
+        cache_key = (K, with_losses)
+        if cache_key not in self._batched_det_fns:
+            from ..ops.simota import yolox_losses
+
+            @jax.jit
+            def det_fn(variables, patches, targets=None, valid=None):
+                n = patches.shape[0]
+                flat = patches.reshape((n * K,) + patches.shape[2:])
+                head = self.model.apply(
+                    variables, flat, False, method=GPT.yolox_outputs
+                )[0]
+                # grids/strides carry no batch axis; regroup the rest.
+                head_nk = {
+                    name: value.reshape((n, K) + value.shape[1:])
+                    if value.shape[:1] == (n * K,)
+                    else value
+                    for name, value in head.items()
+                }
+                if not with_losses:
+                    return head_nk
+                axes = {
+                    name: 0 if value.shape[:1] == (n * K,) else None
+                    for name, value in head.items()
+                }
+                losses = jax.vmap(yolox_losses, in_axes=(axes, 0, 0))(
+                    head_nk, targets, valid
+                )
+                return head_nk, losses
+
+            self._batched_det_fns[cache_key] = det_fn
+        return self._batched_det_fns[cache_key]
+
+    def _batched_patch_detections(self, requests):
+        """Run the detector over many eval episodes' patch sets in a few
+        fixed-shape dispatches instead of one per episode.
+
+        Each request: ``{"patches": [K, P, P, C], "valid": [K] bool,
+        "targets": optional [K, max_boxes, 6]}``; all requests must share K
+        and the presence of targets. Returns, per request,
+        ``{"head": {...: [K, ...]}, "losses": {...: float} | None}``.
+
+        Replaces the per-image ``_yolox_predict``/``_yolox_losses`` round
+        trips (the reference evals per image anyway, reference:
+        src/reinforce.py:417-493; on a tunneled TPU each dispatch is a
+        network RPC, so final validation over the whole test set paid
+        O(images) round trips — now O(images * K / DET_EVAL_PATCHES))."""
+        if not requests:
+            return []
+        K = requests[0]["patches"].shape[0]
+        with_losses = requests[0].get("targets") is not None
+        chunk_rows = max(1, min(self.EVAL_CHUNK, self.DET_EVAL_PATCHES // K))
+        det_fn = self._get_batched_det_fn(K, with_losses)
+        variables = self.eval_variables()
+
+        results = [None] * len(requests)
+        for start in range(0, len(requests), chunk_rows):
+            chunk = requests[start : start + chunk_rows]
+            n_real = len(chunk)
+            if len(requests) > chunk_rows:  # pad tail to the compiled width
+                chunk = chunk + [chunk[-1]] * (chunk_rows - n_real)
+            patches = np.stack([r["patches"] for r in chunk])
+            valid = np.stack(
+                [np.asarray(r["valid"], bool) for r in chunk]
+            )
+            if with_losses:
+                targets = np.stack(
+                    [np.asarray(r["targets"], np.float32) for r in chunk]
+                )
+                head, losses = jax.device_get(
+                    det_fn(
+                        variables,
+                        jnp.asarray(patches),
+                        jnp.asarray(targets),
+                        jnp.asarray(valid),
+                    )
+                )
+            else:
+                head = jax.device_get(det_fn(variables, jnp.asarray(patches)))
+                losses = None
+            for j in range(n_real):
+                # grids/strides are shared [A, ...] constants — passthrough;
+                # everything else was regrouped to [n, K, ...].
+                row_head = {
+                    name: value
+                    if name in ("grids", "strides")
+                    else value[j]
+                    for name, value in head.items()
+                }
+                results[start + j] = {
+                    "head": row_head,
+                    "losses": None
+                    if losses is None
+                    else {
+                        name: float(value[j]) for name, value in losses.items()
+                    },
+                }
+        return results
+
     # --- on-device scan rollout (shared by RL training/eval and the
     # supervised autoregressive eval) ----------------------------------------
     def _rollout_scan(
