@@ -1,0 +1,45 @@
+#!/bin/sh
+# From-scratch REINFORCE with --enable-stop on the 1.5k toy set (round-2
+# verdict stretch item 8: show stop_used rising from 0 without a supervised
+# warm start). Recipe = the round-2 from-scratch RL recipe (shared
+# yolox-nano backbone, ep-len 20, batch 16) with a slightly higher entropy
+# floor (0.02 vs 0.01): the round-2 run reached bbox_found 0.92 by 17k
+# iters yet never pressed STOP -- the early misuse penalty suppresses the
+# STOP logit long before navigation is good enough for stopping to pay,
+# and 0.01-entropy exploration never revisits it. A higher floor keeps
+# P(STOP) alive until the bonus becomes reachable (the warm-start
+# fine-tune, whose STOP logits were fresh, learned it in <10k iters).
+#
+# Usage: sh scripts/run_rl_scratch_stop.sh <work_dir> [max_iters] [entropy]
+set -e
+WORK_DIR=${1:?work_dir required}
+MAX_ITERS=${2:-30000}
+ENTROPY=${3:-0.02}
+exec python main.py \
+  --seed 1 \
+  --dataset-dir /root/toyds_big \
+  --training-mode reinforce \
+  --work-dir "$WORK_DIR" \
+  --max-iters "$MAX_ITERS" \
+  --test-every 1000 \
+  --test-samples 20 \
+  --env-name scratch_stop \
+  --group r3 \
+  --model-type gpt-nano \
+  --image-processor yolox-nano \
+  --concat-embeddings \
+  --decoder-pos-encoding \
+  --use-positional-embedding \
+  --enable-stop \
+  --entropy-weight "$ENTROPY" \
+  --max-seq-len 20 \
+  --batch-size 16 \
+  --gradient-accumulation 8 \
+  --steps-per-dispatch 4 \
+  --patch-size 64 \
+  --minimum-image-size 0 \
+  --detector-conf-threshold 0.1 \
+  --merge-bboxes \
+  --lr 1e-4 \
+  --yolo-lr 1e-4 \
+  --num-workers 1
