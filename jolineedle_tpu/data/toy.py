@@ -22,13 +22,20 @@ def generate_toy_dataset(
     max_boxes: int = 2,
     seed: int = 0,
     context: bool = False,
+    box_size: tuple = (30, 120),
 ) -> Path:
     """Write images + bbox txts + train.txt/test.txt; returns the dir.
 
     ``context=True`` adds a smooth brightness gradient centered on each
     target, giving every patch a directional cue toward the object — without
     it, navigation beyond random search is unlearnable by construction (in
-    LARD the aerial scenery provides that context)."""
+    LARD the aerial scenery provides that context).
+
+    ``box_size`` is the (min, max) target edge length in pixels. The default
+    30-120 at patch 64 makes most boxes SPAN patches (box/patch ratio
+    0.5-1.9); pass e.g. (12, 40) for a LARD-like ratio (runways are
+    ~0.1-0.45 of LARD's 448 px patch, reference: docs/lard_dataset.md),
+    where per-patch detections are whole boxes rather than fragments."""
     out_dir = Path(out_dir)
     (out_dir / "images").mkdir(parents=True, exist_ok=True)
     (out_dir / "bboxes").mkdir(parents=True, exist_ok=True)
@@ -46,8 +53,8 @@ def generate_toy_dataset(
         img = img + np.kron(coarse, np.ones((32, 32, 1), dtype=np.uint8))[:h, :w]
         boxes = []
         for _ in range(int(rng.integers(1, max_boxes + 1))):
-            bw = int(rng.integers(30, 120))
-            bh = int(rng.integers(30, 120))
+            bw = int(rng.integers(box_size[0], box_size[1]))
+            bh = int(rng.integers(box_size[0], box_size[1]))
             x1 = int(rng.integers(0, w - bw))
             y1 = int(rng.integers(0, h - bh))
             if context:

@@ -26,6 +26,12 @@ def main() -> None:
         "out_dir", nargs="?", default="/root/toyds_big",
         help="destination directory (default: /root/toyds_big)",
     )
+    parser.add_argument(
+        "--box-size", nargs=2, type=int, default=(30, 120),
+        metavar=("MIN", "MAX"),
+        help="target edge-length range in px; 12 40 gives the LARD-like "
+        "sub-patch box/patch ratio variant (/root/toyds_lardlike)",
+    )
     args = parser.parse_args()
     path = generate_toy_dataset(
         args.out_dir,
@@ -34,6 +40,7 @@ def main() -> None:
         image_size=(320, 448),
         seed=0,
         context=True,
+        box_size=tuple(args.box_size),
     )
     print(f"wrote {path}")
 
