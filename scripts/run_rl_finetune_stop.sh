@@ -20,6 +20,8 @@ SUP_RUN=${2:?supervised run dir required}
 DETECTOR=${3:-yolox-nano}
 MAX_ITERS=${4:-10000}
 ENTROPY=${5:-0.01}
+# DATASET_DIR env var switches the dataset; must match the supervised run's.
+DATASET_DIR=${DATASET_DIR:-/root/toyds_big}
 if [ "$DETECTOR" = "yolox-nano" ]; then
   BACKBONE_FLAGS="--image-processor yolox-nano"
 else
@@ -27,7 +29,7 @@ else
 fi
 exec python main.py \
   --seed 2 \
-  --dataset-dir /root/toyds_big \
+  --dataset-dir "$DATASET_DIR" \
   --training-mode reinforce \
   --init-from "$SUP_RUN" \
   --work-dir "$WORK_DIR" \

@@ -15,9 +15,11 @@ set -e
 WORK_DIR=${1:?work_dir required}
 MAX_ITERS=${2:-30000}
 ENTROPY=${3:-0.02}
+# DATASET_DIR env var switches the dataset (default: the pinned 1.5k set).
+DATASET_DIR=${DATASET_DIR:-/root/toyds_big}
 exec python main.py \
   --seed 1 \
-  --dataset-dir /root/toyds_big \
+  --dataset-dir "$DATASET_DIR" \
   --training-mode reinforce \
   --work-dir "$WORK_DIR" \
   --max-iters "$MAX_ITERS" \

@@ -23,6 +23,9 @@ WORK_DIR=${1:?work_dir required}
 DETECTOR=${2:-yolox-nano}
 SPD=${3:-1}
 MAX_ITERS=${4:-20000}
+# DATASET_DIR env var switches the dataset (default: the pinned 1.5k toy
+# set; /root/toyds_lardlike for the sub-patch box/patch-ratio variant).
+DATASET_DIR=${DATASET_DIR:-/root/toyds_big}
 if [ "$DETECTOR" = "yolox-nano" ]; then
   BACKBONE_FLAGS="--image-processor yolox-nano"
 else
@@ -30,7 +33,7 @@ else
 fi
 exec python main.py \
   --seed 1 \
-  --dataset-dir /root/toyds_big \
+  --dataset-dir "$DATASET_DIR" \
   --training-mode supervised \
   --work-dir "$WORK_DIR" \
   --max-iters "$MAX_ITERS" \
