@@ -39,6 +39,15 @@ def main() -> None:
     parser.add_argument("run_dir", help="run directory with config.json")
     parser.add_argument("--ckpt", choices=["best", "last"], default="best")
     parser.add_argument("--dataset-dir", default=None)
+    parser.add_argument(
+        "--merge-bboxes", dest="merge_bboxes", default=None,
+        action="store_true",
+        help="override the run's --merge-bboxes for this validation "
+        "(cross-config eval, e.g. to isolate the merge contribution)",
+    )
+    parser.add_argument(
+        "--no-merge-bboxes", dest="merge_bboxes", action="store_false"
+    )
     args = parser.parse_args()
 
     run_dir = pathlib.Path(args.run_dir)
@@ -65,6 +74,8 @@ def main() -> None:
     # of this validation never clobber the original artifacts.
     train_config.work_dir = "/tmp/eval_checkpoint"
     train_config.env_name = run_dir.name + "_eval"
+    if args.merge_bboxes is not None:
+        train_config.merge_bboxes = args.merge_bboxes
     trainer = T(train_config, model, None, train_ds, test_ds)
 
     name = ckpt.CKPT_BEST if args.ckpt == "best" else ckpt.CKPT_LAST
