@@ -164,3 +164,22 @@ def test_build_datasets_train_size_cap(tmp_path):
         train_size=3,
     )
     assert len(train) == 3 and len(test) == 1
+
+
+def test_toy_dataset_box_size_range(tmp_path):
+    """The --box-size knob bounds every generated target edge (the
+    LARD-like sub-patch variant relies on this, docs/experiment_log.md
+    2026-08-20)."""
+    from jolineedle_tpu.data.toy import generate_toy_dataset
+
+    out = generate_toy_dataset(
+        tmp_path / "toy", n_train=3, n_test=2, image_size=(128, 160),
+        seed=5, box_size=(12, 40),
+    )
+    n_boxes = 0
+    for bbox_file in (out / "bboxes").glob("*.txt"):
+        for line in bbox_file.read_text().splitlines():
+            _, x1, y1, x2, y2 = map(int, line.split())
+            assert 12 <= x2 - x1 < 40 and 12 <= y2 - y1 < 40
+            n_boxes += 1
+    assert n_boxes >= 5

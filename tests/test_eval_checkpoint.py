@@ -1,0 +1,109 @@
+"""scripts/eval_checkpoint.py end-to-end: standalone full-test validation of
+a saved run, including the cross-config --no-merge-bboxes override.
+
+Mirrors the post-hoc validation flow the experiment log relies on
+(reference analog: the trainer's own final validation, src/trainer.py:138-165,
+which eval_checkpoint reproduces standalone)."""
+
+import json
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    from jolineedle_tpu.data.toy import generate_toy_dataset
+
+    import main
+
+    toy_dir = generate_toy_dataset(
+        tmp_path_factory.mktemp("toyds_evalckpt"),
+        n_train=4,
+        n_test=2,
+        image_size=(256, 320),
+        seed=3,
+        box_size=(20, 60),
+    )
+    work_dir = tmp_path_factory.mktemp("run_evalckpt")
+    # fmt: off
+    cli_args = [
+        "--seed", "7",
+        "--dataset-dir", str(toy_dir),
+        "--training-mode", "supervised",
+        "--work-dir", str(work_dir),
+        "--max-iters", "2",
+        "--test-every", "2",
+        "--test-samples", "1",
+        "--env-name", "run",
+        "--model-type", "gpt-nano",
+        "--image-processor", "yolox-nano",
+        "--concat-embeddings",
+        "--decoder-pos-encoding",
+        "--use-positional-embedding",
+        "--max-seq-len", "4",
+        "--batch-size", "2",
+        "--patch-size", "64",
+        "--minimum-image-size", "0",
+        "--detector-conf-threshold", "0.05",
+        "--merge-bboxes",
+        "--devices", "0",
+        "--max-det-patches", "6",
+        "--max-boxes", "4",
+        "--compute-dtype", "float32",
+    ]
+    # fmt: on
+    main.main(main.get_args(cli_args))
+    return work_dir / "run", toy_dir
+
+
+def _run_eval(argv, capsys):
+    sys.path.insert(0, str(REPO / "scripts"))
+    try:
+        import eval_checkpoint
+    finally:
+        sys.path.pop(0)
+    old_argv = sys.argv
+    sys.argv = ["eval_checkpoint.py"] + argv
+    try:
+        eval_checkpoint.main()
+    finally:
+        sys.argv = old_argv
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines() if l.startswith("FULL-TEST:")][-1]
+    return json.loads(line[len("FULL-TEST:"):])
+
+
+def test_eval_checkpoint_full_test(trained_run, capsys):
+    run_dir, toy_dir = trained_run
+    metrics = _run_eval(
+        [str(run_dir), "--ckpt", "last", "--dataset-dir", str(toy_dir)],
+        capsys,
+    )
+    assert np.isfinite(metrics["map"])
+    assert metrics["episode_length"] > 0
+    # Full test set (2 images), not the sampled eval subset (1 image):
+    # per-image metrics are means over both episodes.
+    assert "supervised_map" in metrics
+
+
+def test_eval_checkpoint_merge_override(trained_run, capsys):
+    run_dir, toy_dir = trained_run
+    metrics = _run_eval(
+        [
+            str(run_dir), "--ckpt", "last",
+            "--dataset-dir", str(toy_dir), "--no-merge-bboxes",
+        ],
+        capsys,
+    )
+    assert np.isfinite(metrics["map"])
+
+
+def test_eval_checkpoint_requires_dataset_dir(trained_run, capsys):
+    run_dir, _ = trained_run
+    with pytest.raises(SystemExit):
+        _run_eval([str(run_dir), "--ckpt", "last"], capsys)
