@@ -191,6 +191,14 @@ def get_args(args=None) -> argparse.Namespace:
     # supervised policy), where --resume-training cannot apply because the
     # two modes' optimizer pytrees differ (clip/MultiSteps wrappers).
     parser.add_argument("--init-from", type=str, required=False)
+    # TPU-rebuild extension: which test metric drives best-checkpoint
+    # tracking. The reference hardcodes "map" (supervised, src/supervised.py:81)
+    # and "prop_patches_found" (REINFORCE, src/reinforce.py:67); the RL
+    # default is conservative — on the toy task it repeatedly picks
+    # lower-stop checkpoints whose mAP trails the eval peak by ~0.03
+    # (docs/experiment_log.md 2026-08-20 "commitment frontier") — so
+    # recipes can track e.g. ``--best-metric map`` instead.
+    parser.add_argument("--best-metric", type=str, required=False)
     # TPU-rebuild extension: keep the whole dataset in HBM as uint8 and
     # gather patch pixels inside the jitted step (data/device_pool.py) —
     # removes per-iteration host->device pixel transfers. ``auto`` enables
@@ -321,6 +329,7 @@ def args_to_config(args) -> tuple:
     train_config.eval_training_set = args.eval_training_set
     train_config.resume_training = args.resume_training
     train_config.init_from = args.init_from
+    train_config.best_metric = args.best_metric
     train_config.device_data_cache = args.device_data_cache
     train_config.detection_checkpoint = args.detection_checkpoint
     train_config.merge_bboxes = args.merge_bboxes

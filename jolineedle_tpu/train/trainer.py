@@ -71,6 +71,12 @@ class Trainer:
         self.rng = rng
         self.np_rng = np.random.default_rng(config.seed + 1)
 
+        # --best-metric overrides the mode's hardcoded best-checkpoint
+        # criterion (class default: "map" here, "prop_patches_found" in
+        # ReinforceTrainer — reference: src/supervised.py:81,
+        # src/reinforce.py:67).
+        if getattr(config, "best_metric", None):
+            self.best_metric_name = config.best_metric
         self.best_metric_history = []
         self.last_test_metrics = {}
         self.iter_num = 0

@@ -14,6 +14,11 @@
 #   detector     must match the supervised run's --image-processor
 #                (yolox-nano = shared backbone, default; yolox-s adds
 #                --gpt-backbone yolox-nano like the flagship recipe)
+#
+# Best checkpoints are tracked by trajectory mAP (--best-metric map): the
+# RL default (prop_patches_found) repeatedly picked lower-stop checkpoints
+# ~0.03 mAP below the sampled-eval peak on both box-size variants
+# (docs/experiment_log.md 2026-08-19/20, "commitment frontier").
 set -e
 WORK_DIR=${1:?work_dir required}
 SUP_RUN=${2:?supervised run dir required}
@@ -55,4 +60,5 @@ exec python main.py \
   --merge-bboxes \
   --lr 3e-5 \
   --yolo-lr 2e-5 \
+  --best-metric map \
   --num-workers 1

@@ -71,6 +71,15 @@ def test_filter_classes_parsed_as_int_set():
     assert train_config.filter_classes == {1, 3}
 
 
+def test_best_metric_flag_flows_to_train_config():
+    # Default: unset — trainers fall back to their mode's hardcoded
+    # criterion (map / prop_patches_found).
+    train_config, _ = args_to_config(_cli())
+    assert train_config.best_metric is None
+    train_config, _ = args_to_config(_cli("--best-metric", "map"))
+    assert train_config.best_metric == "map"
+
+
 def test_config_json_round_trip(tmp_path):
     train_config, model_config = args_to_config(
         _cli(

@@ -59,6 +59,9 @@ def test_reinforce_pipeline(toy_dir, tmp_path):
         "--max-det-patches", "6",
         "--max-boxes", "4",
         "--compute-dtype", "float32",
+        # Track best checkpoints by trajectory mAP instead of the RL
+        # default prop_patches_found (--best-metric extension).
+        "--best-metric", "map",
     ]
     # fmt: on
     args = main.get_args(cli_args)
@@ -79,3 +82,9 @@ def test_reinforce_pipeline(toy_dir, tmp_path):
     # Return-normalization window was maintained.
     assert np.isfinite(trainer.last_return_mean)
     assert np.isfinite(trainer.last_return_std)
+    # --best-metric overrode the RL default (prop_patches_found) and the
+    # best-checkpoint artifacts record the chosen criterion.
+    assert trainer.best_metric_name == "map"
+    assert os.path.exists(os.path.join(out_dir, "checkpoint_best.msgpack"))
+    with open(os.path.join(out_dir, "best_model.txt")) as f:
+        assert "map:" in f.read()
