@@ -870,11 +870,7 @@ class ReinforceTrainer(Trainer):
                     plot_images["worst_images"].append(plot_image)
 
         self.last_test_metrics = all_metrics
-        self.best_metric_history.append(
-            float(np.mean(all_metrics[self.best_metric_name]))
-            if all_metrics[self.best_metric_name]
-            else 0.0
-        )
+        self.record_best_metric(all_metrics)
         if self.logger is not None:
             self.logger.log_to_visdom(all_metrics, plot_images, "test")
         self.save_state()

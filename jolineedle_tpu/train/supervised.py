@@ -934,11 +934,7 @@ class SupervisedTrainer(Trainer):
                 metrics["supervised_" + name] = values
 
             self.last_test_metrics = metrics
-            self.best_metric_history.append(
-                float(np.mean(metrics[self.best_metric_name]))
-                if metrics[self.best_metric_name]
-                else 0.0
-            )
+            self.record_best_metric(metrics)
             if self.logger is not None:
                 self.logger.log_to_visdom(metrics, images, mode)
 

@@ -168,6 +168,34 @@ class Trainer:
             f.write(json.dumps(metrics, indent=4))
         print(json.dumps(metrics, indent=4))
 
+    def record_best_metric(self, all_metrics) -> None:
+        """Append this eval's best-checkpoint criterion value.
+
+        Fails fast when the configured criterion is absent from the eval
+        metrics (a ``--best-metric`` typo, or e.g. ``map`` in a run that
+        never emits it): ``all_metrics`` is a ``defaultdict(list)``, so a
+        silent miss would otherwise produce an all-zero history and quietly
+        degrade ``checkpoint_best`` to "last checkpoint".
+        """
+        values = (
+            all_metrics[self.best_metric_name]
+            if self.best_metric_name in all_metrics
+            else None
+        )
+        # On the FIRST eval an absent or empty criterion means the name can
+        # never produce a signal (later evals tolerate an empty list as 0.0,
+        # matching the reference's best-effort tracking).
+        if not values and not self.best_metric_history:
+            raise ValueError(
+                f"best-checkpoint criterion {self.best_metric_name!r} is not "
+                f"among the metrics this run emits "
+                f"({sorted(k for k, v in all_metrics.items() if v)}); "
+                "check --best-metric"
+            )
+        self.best_metric_history.append(
+            float(np.mean(values)) if values else 0.0
+        )
+
     def save_state(self):
         try:
             max_metric = max(self.best_metric_history)

@@ -57,10 +57,14 @@ def main() -> None:
 
     import main as train_main
 
-    dataset_dir = args.dataset_dir
+    # Runs since round 4 record dataset_dir in config.json; --dataset-dir
+    # overrides it (moved datasets, older configs).
+    dataset_dir = args.dataset_dir or getattr(train_config, "dataset_dir", None)
     if dataset_dir is None:
-        raise SystemExit("--dataset-dir is required (config.json does not "
-                         "record the dataset location)")
+        raise SystemExit(
+            "--dataset-dir is required: this run's config.json predates the "
+            "recorded dataset_dir field"
+        )
     train_ds, test_ds = train_main.build_both_datasets(
         train_config, model_config, dataset_dir
     )

@@ -103,7 +103,27 @@ def test_eval_checkpoint_merge_override(trained_run, capsys):
     assert np.isfinite(metrics["map"])
 
 
-def test_eval_checkpoint_requires_dataset_dir(trained_run, capsys):
+def test_eval_checkpoint_recorded_dataset_dir(trained_run, capsys):
+    """A fresh run's config.json records dataset_dir, so the checkpoint
+    validates with NO --dataset-dir flag (round-3 verdict item 7)."""
     run_dir, _ = trained_run
+    metrics = _run_eval([str(run_dir), "--ckpt", "last"], capsys)
+    assert np.isfinite(metrics["map"])
+
+
+def test_eval_checkpoint_legacy_config_requires_dataset_dir(
+    trained_run, capsys, tmp_path
+):
+    """Configs predating the recorded dataset_dir field still fail fast
+    with the actionable --dataset-dir message."""
+    import shutil
+
+    run_dir, _ = trained_run
+    legacy = tmp_path / "legacy_run"
+    shutil.copytree(run_dir, legacy)
+    cfg_path = legacy / "config.json"
+    cfg = json.loads(cfg_path.read_text())
+    cfg["train"].pop("dataset_dir", None)
+    cfg_path.write_text(json.dumps(cfg))
     with pytest.raises(SystemExit):
-        _run_eval([str(run_dir), "--ckpt", "last"], capsys)
+        _run_eval([str(legacy), "--ckpt", "last"], capsys)

@@ -86,5 +86,52 @@ def test_reinforce_pipeline(toy_dir, tmp_path):
     # best-checkpoint artifacts record the chosen criterion.
     assert trainer.best_metric_name == "map"
     assert os.path.exists(os.path.join(out_dir, "checkpoint_best.msgpack"))
+    # best_model.txt must record the criterion's actual max, and the
+    # criterion must have been genuinely emitted by the eval (a non-empty
+    # per-episode list — not the defaultdict ghost an unrecognized name
+    # would create). A 3-iter policy can legitimately score mAP 0.0, so the
+    # VALUE is not asserted nonzero; the typo test below pins the fail-fast.
     with open(os.path.join(out_dir, "best_model.txt")) as f:
-        assert "map:" in f.read()
+        best_txt = f.read()
+    recorded = float(best_txt.split("map:")[1].strip())
+    assert trainer.best_metric_history
+    assert recorded == pytest.approx(max(trainer.best_metric_history))
+    assert len(trainer.last_test_metrics["map"]) > 0
+
+
+def test_best_metric_typo_fails_fast(toy_dir, tmp_path):
+    """An unknown --best-metric must raise at the first eval instead of
+    silently tracking an all-zero history (advisor finding, round 3)."""
+    import main
+
+    # fmt: off
+    cli_args = [
+        "--seed", "7",
+        "--dataset-dir", str(toy_dir),
+        "--training-mode", "reinforce",
+        "--work-dir", str(tmp_path / "checkpoints"),
+        "--max-iters", "2",
+        "--test-every", "2",
+        "--test-samples", "2",
+        "--env-name", "typo",
+        "--group", "test",
+        "--model-type", "gpt-nano",
+        "--gpt-backbone", "yolox-nano",
+        "--image-processor", "yolox-nano",
+        "--concat-embeddings",
+        "--decoder-pos-encoding",
+        "--use-positional-embedding",
+        "--max-seq-len", "4",
+        "--batch-size", "2",
+        "--patch-size", "64",
+        "--minimum-image-size", "0",
+        "--compute-dtype", "float32",
+        "--devices", "0",
+        "--max-det-patches", "6",
+        "--max-boxes", "4",
+        "--best-metric", "mAP",  # typo: metrics key is 'map'
+    ]
+    # fmt: on
+    args = main.get_args(cli_args)
+    with pytest.raises(ValueError, match="mAP"):
+        main.main(args)
