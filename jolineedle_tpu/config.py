@@ -145,6 +145,11 @@ def get_args(args=None) -> argparse.Namespace:
         "--no-reward-norm", action="store_false", dest="reward_norm"
     )
     parser.add_argument("--entropy-weight", type=float, default=0.01)
+    # Reward shaping for the from-scratch STOP probe: scales the env's
+    # found-count STOP bonus/penalty in TRAINING rewards (1.0 = the
+    # reference reward, src/env/general_env.py:321-358). No reference
+    # equivalent.
+    parser.add_argument("--stop-bonus-scale", type=float, default=1.0)
     parser.add_argument("--binomial-keypoints", action="store_true")
     parser.add_argument("--min-keypoints", type=int, default=0)
     parser.add_argument("--max-keypoints", type=int, default=0)
@@ -349,6 +354,7 @@ def args_to_config(args) -> tuple:
     train_config.weight_decay = args.weight_decay
     train_config.stop_weight = args.stop_weight
     train_config.entropy_weight = args.entropy_weight
+    train_config.stop_bonus_scale = args.stop_bonus_scale
     train_config.reward_norm = args.reward_norm
     train_config.minimum_image_size = args.minimum_image_size
     train_config.filter_classes = (

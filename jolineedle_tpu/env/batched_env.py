@@ -88,12 +88,18 @@ class NeedleEnv:
         stop_enabled: bool = False,
         box_valid: Optional[jax.Array] = None,
         terminate_on_all_found: bool = True,
+        stop_bonus_scale: float = 1.0,
         _prebuilt=None,
     ):
         self.patch_size = int(patch_size)
         self.max_ep_len = int(max_ep_len)
         self.n_glimps_levels = int(n_glimps_levels)
         self.stop_enabled = bool(stop_enabled)
+        # Reward-shaping knob for the from-scratch STOP probe (round-3
+        # verdict item 4): scales the found-count STOP bonus/penalty while
+        # leaving the +1/new-patch and step-cost terms untouched. 1.0 = the
+        # reference's reward (general_env.py:321-358).
+        self.stop_bonus_scale = float(stop_bonus_scale)
         # The supervised autoregressive eval keeps walking after all bbox
         # patches are visited (reference: src/supervised.py:326-363 has no
         # all-found break); RL terminates there (general_env.py:235-246).
@@ -148,6 +154,7 @@ class NeedleEnv:
             self.n_glimps_levels,
             self.stop_enabled,
             self.terminate_on_all_found,
+            self.stop_bonus_scale,
         )
         return leaves, aux
 
@@ -159,6 +166,7 @@ class NeedleEnv:
             n_glimps_levels,
             stop_enabled,
             terminate_on_all_found,
+            stop_bonus_scale,
         ) = aux
         return cls(
             None,
@@ -168,6 +176,7 @@ class NeedleEnv:
             n_glimps_levels,
             stop_enabled,
             terminate_on_all_found=terminate_on_all_found,
+            stop_bonus_scale=stop_bonus_scale,
             _prebuilt=leaves,
         )
 
@@ -294,7 +303,11 @@ class NeedleEnv:
             stop_eval = found_all * bboxes_found + (1.0 - found_all) * (
                 bboxes_found - all_bboxes
             )
-            stop_eval = stop_eval * has_stopped.astype(jnp.float32)
+            stop_eval = (
+                stop_eval
+                * has_stopped.astype(jnp.float32)
+                * self.stop_bonus_scale
+            )
 
         return found_new + costs + stop_eval
 

@@ -157,6 +157,10 @@ class ReinforceTrainer(Trainer):
                 self.max_ep_len,
                 self.n_glimps_levels,
                 self.stop_enabled,
+                # --stop-bonus-scale shapes the TRAINING reward only; eval
+                # rollouts keep scale 1.0 so reported returns stay
+                # comparable across runs.
+                stop_bonus_scale=getattr(cfg, "stop_bonus_scale", 1.0),
             )
             k_roll, k_det, k_aug = jax.random.split(rng, 3)
             ro = self._rollout_scan(variables, env, k_roll, sample=True)

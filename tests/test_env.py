@@ -6,7 +6,7 @@ import numpy as np
 from jolineedle_tpu.env import Action, NeedleEnv
 
 
-def make_env(stop_enabled=False, max_ep_len=8):
+def make_env(stop_enabled=False, max_ep_len=8, stop_bonus_scale=1.0):
     images = np.zeros((1, 1792, 2240, 3), np.float32)
     images[:, 0:448, 448:896, 0] = 1.0
     bboxes = np.array([[[310, 810, 400, 850], [700, 1500, 800, 1600]]], np.float32)
@@ -17,6 +17,7 @@ def make_env(stop_enabled=False, max_ep_len=8):
         max_ep_len=max_ep_len,
         n_glimps_levels=1,
         stop_enabled=stop_enabled,
+        stop_bonus_scale=stop_bonus_scale,
     )
 
 
@@ -76,6 +77,23 @@ def test_env_stop_rewards():
     state, _, rewards, term, *_ = env.step(state, jnp.array([Action.STOP.value]))
     assert bool(term[0])
     assert np.allclose(np.asarray(rewards), -2.0 - 1.0 / 8)
+
+
+def test_env_stop_bonus_scale():
+    """--stop-bonus-scale multiplies ONLY the stop bonus/penalty term;
+    step cost and found rewards are untouched."""
+    env = make_env(stop_enabled=True, stop_bonus_scale=0.25)
+    state, _, _ = env.reset(positions=jnp.array([[0, 0]]))
+    # Unscaled penalty is -2 (0 found of 2); scaled: -0.5.
+    state, _, rewards, term, *_ = env.step(state, jnp.array([Action.STOP.value]))
+    assert bool(term[0])
+    assert np.allclose(np.asarray(rewards), 0.25 * -2.0 - 1.0 / 8)
+    # The scale survives the pytree round-trip (jit/scan carry the env).
+    import jax
+
+    leaves, aux = jax.tree_util.tree_flatten(env)
+    env2 = jax.tree_util.tree_unflatten(aux, leaves)
+    assert env2.stop_bonus_scale == 0.25
 
 
 def test_masked_step_freezes():

@@ -135,6 +135,58 @@ def test_simota_assigns_center_anchor():
     assert int(fg2.sum()) == 0
 
 
+def test_simota_loose_edge_knob():
+    """JOLINEEDLE_SIMOTA_LOOSE_EDGE restores the pre-strict >=/<= candidate
+    boundary (the repro-study A/B arm): an anchor center exactly ON a box
+    edge is OUTSIDE under strict semantics, INSIDE under loose."""
+    from jolineedle_tpu.models.yolox import make_grids_and_strides
+    from jolineedle_tpu.ops import simota
+
+    grids, strides = make_grids_and_strides(64)
+    centers = (np.asarray(grids) + 0.5) * np.asarray(strides)[:, None]
+    A = grids.shape[0]
+    # A gt whose left edge lands exactly on the stride-8 anchor-center
+    # column x=4.5... pick a box spanning [4, 60] x [4, 60] in cxcywh with
+    # edges on centers: choose x1 = centers of the first stride-8 column.
+    x1 = y1 = float(centers[0, 0])  # 4.0? centers[0] = (0+0.5)*8 = 4.0
+    x2 = y2 = x1 + 32.0
+    gt = jnp.array([[(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1]])
+    pred = jnp.broadcast_to(gt[0], (A, 4))
+    args = (
+        pred,
+        jnp.zeros((A,)),
+        jnp.zeros((A, 1)),
+        gt,
+        jnp.zeros((1,), jnp.int32),
+        jnp.ones((1,), bool),
+        grids,
+        strides,
+    )
+
+    def in_box_count():
+        gt_xyxy = simota.cxcywh_to_xyxy(gt)
+        cx, cy = centers[:, 0], centers[:, 1]
+        return (
+            simota._GT(cx, float(gt_xyxy[0, 0]))
+            & simota._LT(cx, float(gt_xyxy[0, 2]))
+            & simota._GT(cy, float(gt_xyxy[0, 1]))
+            & simota._LT(cy, float(gt_xyxy[0, 3]))
+        ).sum()
+
+    strict_count = int(in_box_count())
+    orig_gt, orig_lt = simota._GT, simota._LT
+    try:
+        simota._GT, simota._LT = jnp.greater_equal, jnp.less_equal
+        loose_count = int(in_box_count())
+        # Loose admits the on-edge centers strict excludes.
+        assert loose_count > strict_count
+        # The full assignment still runs and produces foregrounds.
+        fg_loose, _, _ = simota.simota_assign(*args)
+        assert int(fg_loose.sum()) >= 1
+    finally:
+        simota._GT, simota._LT = orig_gt, orig_lt
+
+
 def test_pairwise_iou():
     a = jnp.array([[50.0, 50.0, 20.0, 20.0]])
     b = jnp.array([[50.0, 50.0, 20.0, 20.0], [100.0, 100.0, 10.0, 10.0]])
