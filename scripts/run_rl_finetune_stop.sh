@@ -61,4 +61,5 @@ exec python main.py \
   --lr 3e-5 \
   --yolo-lr 2e-5 \
   --best-metric map \
-  --num-workers 1
+  --num-workers 1 \
+  $EXTRA_FLAGS
