@@ -805,7 +805,7 @@ class ReinforceTrainer(Trainer):
         plot_images = {"model_images": []}
 
         visual_ids = set(
-            self.rng.choice(
+            self.visual_rng.choice(
                 np.arange(len(env_ids)), size=min(6, len(env_ids)), replace=False
             ).tolist()
         )

@@ -656,7 +656,7 @@ class SupervisedTrainer(Trainer):
         sample_actions: bool = False,
     ):
         visual_ids = set(
-            self.rng.choice(
+            self.visual_rng.choice(
                 np.arange(len(env_ids)), size=min(6, len(env_ids)), replace=False
             ).tolist()
         )
