@@ -14,6 +14,7 @@ from pathlib import Path
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -21,10 +22,60 @@ CKPT_LAST = "checkpoint.msgpack"
 CKPT_BEST = "checkpoint_best.msgpack"
 
 
+@jax.jit
+def _copy_with_checksums(tree):
+    """Copy every leaf into a brand-new output buffer and return per-leaf
+    float32 abs-sums computed in the SAME program (fetch freshness probe)."""
+    fresh = jax.tree_util.tree_map(jnp.copy, tree)
+    sums = jnp.stack(
+        [
+            jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
+            for leaf in jax.tree_util.tree_leaves(fresh)
+        ]
+    )
+    return fresh, sums
+
+
+def fetch_fresh(tree: Any) -> Any:
+    """``device_get`` that defeats the tunneled runtime's stale-buffer fetch.
+
+    Measured 2026-08-20 (post-reset axon runtime): ``device_get`` of train-
+    state buffers that are donated/aliased across training dispatches
+    returned the run's FIRST-fetch snapshot — params and batch_stats came
+    back bit-identical across evals 3000 iterations apart while the int32
+    step/update counters in the SAME pytree stayed fresh. Copying every
+    leaf into never-before-fetched output buffers inside one jitted program
+    forces materialization of the current values, and fetching those fresh
+    buffers returns them correctly. Per-leaf float32 abs-sums computed in
+    the same program cross-check the fetched bytes; a mismatch prints a
+    loud warning (save stays best-effort, parity: src/trainer.py:92-136).
+    """
+    if jax.default_backend() == "cpu":
+        return jax.device_get(tree)
+    fresh, sums = _copy_with_checksums(tree)
+    host = jax.device_get(fresh)
+    dev_sums = np.asarray(jax.device_get(sums), np.float64)
+    host_sums = np.array(
+        [
+            np.sum(np.abs(np.asarray(leaf, np.float32)), dtype=np.float64)
+            for leaf in jax.tree_util.tree_leaves(host)
+        ]
+    )
+    bad = ~np.isclose(host_sums, dev_sums, rtol=1e-3, atol=1.0)
+    if bad.any():
+        print(
+            f"WARNING: checkpoint fetch freshness check failed on "
+            f"{int(bad.sum())}/{bad.size} leaves — the saved checkpoint "
+            "may contain stale parameters (tunneled-runtime fetch bug, "
+            "docs/experiment_log.md 2026-08-20)"
+        )
+    return host
+
+
 def save_checkpoint(path, state: Any):
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    state = jax.device_get(state)
+    state = fetch_fresh(state)
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(state))
 

@@ -70,6 +70,8 @@ def pallas_conv3x3(x, w):
     K = w.shape[-1]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     wf = w.reshape(9 * C, K)
+    # CPU has no Mosaic: interpret mode checks numerics without a chip.
+    interpret = jax.default_backend() == "cpu"
     return pl.pallas_call(
         functools.partial(_conv_kernel, H=H, W=W, C=C, K=K),
         grid=(B,),
@@ -84,6 +86,7 @@ def pallas_conv3x3(x, w):
             (1, H, W, K), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, K), x.dtype),
+        interpret=interpret,
     )(xp, wf)
 
 
