@@ -201,7 +201,27 @@ class Trainer:
             float(np.mean(values)) if values else 0.0
         )
 
+    _param_norm_fn = None
+
+    def _param_global_norm(self) -> float:
+        """Device-computed global L2 of params, fetched as one scalar.
+
+        Logged at every eval so a frozen-parameter run (the 2026-08-20
+        bit-identical-checkpoints incident) is visible directly in
+        metrics.json/stdout: the norm must drift while training is alive."""
+        if Trainer._param_norm_fn is None:
+            import optax
+
+            Trainer._param_norm_fn = jax.jit(optax.global_norm)
+        return float(Trainer._param_norm_fn(self.state.params))
+
     def save_state(self):
+        try:
+            norm = self._param_global_norm()
+            self.last_test_metrics["param_global_norm"] = [norm]
+            print(f"param_global_norm {norm:.6f}")
+        except Exception as e:
+            print("Could not compute param norm: " + str(e))
         try:
             max_metric = max(self.best_metric_history)
             if max_metric == self.best_metric_history[-1]:
