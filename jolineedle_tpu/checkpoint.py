@@ -22,54 +22,99 @@ CKPT_LAST = "checkpoint.msgpack"
 CKPT_BEST = "checkpoint_best.msgpack"
 
 
-@jax.jit
-def _copy_with_checksums(tree):
-    """Copy every leaf into a brand-new output buffer and return per-leaf
-    float32 abs-sums computed in the SAME program (fetch freshness probe)."""
-    fresh = jax.tree_util.tree_map(jnp.copy, tree)
-    sums = jnp.stack(
-        [
-            jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
-            for leaf in jax.tree_util.tree_leaves(fresh)
-        ]
-    )
-    return fresh, sums
+_fetch_salt = [0]
+_probe_fns: dict = {}
+
+
+def _probe_positions(leaves):
+    """Deterministic spot-check positions: up to 8 float leaves spread
+    across the (size-sorted) leaf list, 2 elements each."""
+    float_idx = [
+        i for i, l in enumerate(leaves)
+        if hasattr(l, "dtype") and np.issubdtype(np.asarray(l).dtype, np.floating)
+        and np.asarray(l).size >= 2
+    ]
+    if not float_idx:
+        return []
+    float_idx.sort(key=lambda i: -np.asarray(leaves[i]).size)
+    chosen = float_idx[:: max(1, len(float_idx) // 8)][:8]
+    out = []
+    for i in chosen:
+        n = np.asarray(leaves[i]).size
+        out.append((i, 0))
+        out.append((i, n // 2))
+    return out
 
 
 def fetch_fresh(tree: Any) -> Any:
-    """``device_get`` that defeats the tunneled runtime's stale-buffer fetch.
+    """``device_get`` that defeats the tunneled runtime's stale-array fetch.
 
-    Measured 2026-08-20 (post-reset axon runtime): ``device_get`` of train-
-    state buffers that are donated/aliased across training dispatches
-    returned the run's FIRST-fetch snapshot — params and batch_stats came
-    back bit-identical across evals 3000 iterations apart while the int32
-    step/update counters in the SAME pytree stayed fresh. Copying every
-    leaf into never-before-fetched output buffers inside one jitted program
-    forces materialization of the current values, and fetching those fresh
-    buffers returns them correctly. Per-leaf float32 abs-sums computed in
-    the same program cross-check the fetched bytes; a mismatch prints a
-    loud warning (save stays best-effort, parity: src/trainer.py:92-136).
+    Measured 2026-08-20 (post-reset axon runtime): fetching ARRAY outputs
+    tied to the long-lived donated train-state returns the run's first-save
+    snapshot — params/batch_stats came back bit-identical across evals
+    thousands of iterations apart while SCALAR fetches of the same buffers
+    (step counters, an on-device global param norm) stayed fresh, and a
+    plain jitted-copy indirection did NOT help (its array outputs and even
+    its [n_leaves] checksum vector came back stale-consistent). Scalar
+    fetches are the one provably-fresh channel.
+
+    Strategy: (1) copy the tree inside a UNIQUE executable per call — a
+    fresh lambda with a unique embedded constant gives a unique HLO, so no
+    executable- or result-keyed cache can serve a previous save's output;
+    (2) verify the fetched bytes BIT-EXACTLY against ~16 elements read back
+    as individual scalars through the fresh channel; (3) retry with a new
+    unique executable on mismatch, and warn loudly if verification never
+    passes (save stays best-effort, parity: src/trainer.py:92-136).
     """
     if jax.default_backend() == "cpu":
         return jax.device_get(tree)
-    fresh, sums = _copy_with_checksums(tree)
-    host = jax.device_get(fresh)
-    dev_sums = np.asarray(jax.device_get(sums), np.float64)
-    host_sums = np.array(
-        [
-            np.sum(np.abs(np.asarray(leaf, np.float32)), dtype=np.float64)
-            for leaf in jax.tree_util.tree_leaves(host)
-        ]
-    )
-    bad = ~np.isclose(host_sums, dev_sums, rtol=1e-3, atol=1.0)
-    if bad.any():
-        print(
-            f"WARNING: checkpoint fetch freshness check failed on "
-            f"{int(bad.sum())}/{bad.size} leaves — the saved checkpoint "
-            "may contain stale parameters (tunneled-runtime fetch bug, "
-            "docs/experiment_log.md 2026-08-20)"
+
+    leaves = jax.tree_util.tree_leaves(tree)
+    positions = _probe_positions(leaves)
+    key = jax.tree_util.tree_structure(tree)
+    if key not in _probe_fns:
+        def probe(t, _pos=tuple(positions)):
+            ls = jax.tree_util.tree_leaves(t)
+            return tuple(jnp.ravel(ls[i])[j] for i, j in _pos)
+
+        _probe_fns[key] = jax.jit(probe)
+
+    last_host = None
+    for _ in range(3):
+        _fetch_salt[0] += 1
+        salt = _fetch_salt[0]
+        # New lambda + unique constant => unique jit entry AND unique HLO.
+        copier = jax.jit(
+            lambda t, _s=salt: (
+                jax.tree_util.tree_map(jnp.copy, t),
+                jnp.full((), _s, jnp.int32),
+            )
         )
-    return host
+        host, _ = jax.device_get(copier(tree))
+        last_host = host
+        # Scalar probes AFTER the copy fetch: each is a () buffer fetched
+        # individually — the channel measured fresh on this runtime.
+        dev_vals = [
+            float(v) for v in _probe_fns[key](tree)
+        ]
+        host_leaves = jax.tree_util.tree_leaves(host)
+        ok = True
+        for (i, j), dv in zip(positions, dev_vals):
+            hv = float(np.ravel(np.asarray(host_leaves[i]))[j])
+            if not (hv == dv or (np.isnan(hv) and np.isnan(dv))):
+                ok = False
+                break
+        if ok:
+            return host
+        print("checkpoint fetch returned stale bytes; retrying with a "
+              "fresh executable")
+    print(
+        "WARNING: checkpoint fetch failed bit-exact scalar verification "
+        "after 3 attempts — the saved checkpoint may contain stale "
+        "parameters (tunneled-runtime fetch bug, docs/experiment_log.md "
+        "2026-08-20)"
+    )
+    return last_host
 
 
 def save_checkpoint(path, state: Any):
