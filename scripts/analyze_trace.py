@@ -106,11 +106,11 @@ def main():
                         if sm and sm.name in (
                             "hlo_category", "equation", "category"
                         ):
-                            if st.str_metadata_id:
-                                sv = smeta.get(st.str_metadata_id)
-                                cat = sv.name if sv else None
-                            elif st.HasField("str_value"):
+                            if st.WhichOneof("value") == "str_value":
                                 cat = st.str_value
+                            elif st.WhichOneof("value") == "ref_value":
+                                sv = smeta.get(st.ref_value)
+                                cat = sv.name if sv else None
                             if cat:
                                 break
                     if cat is None:
