@@ -450,8 +450,11 @@ def main():
     # (reference: docs/experiment_log.md:27-29) — the round-3 verdict asked
     # for its numbers in the driver artifact, not only the nano floor. Same
     # protocol (median of BENCH_REPEATS passes), same session peak.
-    # BENCH_SECONDARY=0 disables; skipped on CPU smoke runs.
+    # BENCH_SECONDARY=0 disables, =1 means "the default yolox-s", any other
+    # value names the secondary embedder directly.
     sec_embedder = os.environ.get("BENCH_SECONDARY", "yolox-s")
+    if sec_embedder == "1":
+        sec_embedder = "yolox-s"
     if sec_embedder not in ("", "0") and not small and sec_embedder != embedder:
         # yolox-s does ~8x the FLOPs/step of nano: fewer iterations reach
         # the same >=20 s measurement window per pass.

@@ -28,19 +28,23 @@ _probe_fns: dict = {}
 
 def _probe_positions(leaves):
     """Deterministic spot-check positions: up to 8 float leaves spread
-    across the (size-sorted) leaf list, 2 elements each."""
+    across the (size-sorted) leaf list, 2 elements each.
+
+    Uses only leaf METADATA (``.dtype``/``.size``) — never ``np.asarray``,
+    which on the tunneled runtime forces a full per-leaf ``device_get``
+    (~1-12 s each when work is pending) and would stall every save."""
     float_idx = [
         i for i, l in enumerate(leaves)
-        if hasattr(l, "dtype") and np.issubdtype(np.asarray(l).dtype, np.floating)
-        and np.asarray(l).size >= 2
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+        and getattr(l, "size", 0) >= 2
     ]
     if not float_idx:
         return []
-    float_idx.sort(key=lambda i: -np.asarray(leaves[i]).size)
+    float_idx.sort(key=lambda i: -leaves[i].size)
     chosen = float_idx[:: max(1, len(float_idx) // 8)][:8]
     out = []
     for i in chosen:
-        n = np.asarray(leaves[i]).size
+        n = leaves[i].size
         out.append((i, 0))
         out.append((i, n // 2))
     return out
@@ -70,14 +74,22 @@ def fetch_fresh(tree: Any) -> Any:
         return jax.device_get(tree)
 
     leaves = jax.tree_util.tree_leaves(tree)
-    positions = _probe_positions(leaves)
-    key = jax.tree_util.tree_structure(tree)
+    # Cache key includes leaf shapes: a same-structure tree with different
+    # shapes must get its own probe positions, or device probes would be
+    # compared against the wrong host elements.
+    key = (
+        jax.tree_util.tree_structure(tree),
+        tuple(getattr(l, "shape", None) for l in leaves),
+    )
     if key not in _probe_fns:
+        positions = _probe_positions(leaves)
+
         def probe(t, _pos=tuple(positions)):
             ls = jax.tree_util.tree_leaves(t)
             return tuple(jnp.ravel(ls[i])[j] for i, j in _pos)
 
-        _probe_fns[key] = jax.jit(probe)
+        _probe_fns[key] = (jax.jit(probe), tuple(positions))
+    probe_fn, positions = _probe_fns[key]
 
     last_host = None
     for _ in range(3):
@@ -94,9 +106,7 @@ def fetch_fresh(tree: Any) -> Any:
         last_host = host
         # Scalar probes AFTER the copy fetch: each is a () buffer fetched
         # individually — the channel measured fresh on this runtime.
-        dev_vals = [
-            float(v) for v in _probe_fns[key](tree)
-        ]
+        dev_vals = [float(v) for v in probe_fn(tree)]
         host_leaves = jax.tree_util.tree_leaves(host)
         ok = True
         for (i, j), dv in zip(positions, dev_vals):

@@ -23,6 +23,7 @@ def generate_toy_dataset(
     seed: int = 0,
     context: bool = False,
     box_size: tuple = (30, 120),
+    runway: bool = False,
 ) -> Path:
     """Write images + bbox txts + train.txt/test.txt; returns the dir.
 
@@ -35,7 +36,17 @@ def generate_toy_dataset(
     30-120 at patch 64 makes most boxes SPAN patches (box/patch ratio
     0.5-1.9); pass e.g. (12, 40) for a LARD-like ratio (runways are
     ~0.1-0.45 of LARD's 448 px patch, reference: docs/lard_dataset.md),
-    where per-patch detections are whole boxes rather than fragments."""
+    where per-patch detections are whole boxes rather than fragments.
+
+    ``runway=True`` switches the target TOPOLOGY to LARD's: exactly ONE
+    elongated thin rectangle per image, 3-6 patch-lengths long (192-384 px
+    at patch 64) and 16-40 px thick, axis-aligned horizontal or vertical —
+    one contiguous object whose bbox spans several patches IN A LINE
+    (reference bbox->patch semantics: src/env/simple_env.py:270-321). This
+    isolates the "have I found everything?" signal: with a single
+    contiguous target, full coverage is locally observable (the runway
+    visibly ends), unlike scattered 1-2-patch targets. ``box_size`` and
+    ``max_boxes`` are ignored in this mode."""
     out_dir = Path(out_dir)
     (out_dir / "images").mkdir(parents=True, exist_ok=True)
     (out_dir / "bboxes").mkdir(parents=True, exist_ok=True)
@@ -52,9 +63,19 @@ def generate_toy_dataset(
         )
         img = img + np.kron(coarse, np.ones((32, 32, 1), dtype=np.uint8))[:h, :w]
         boxes = []
-        for _ in range(int(rng.integers(1, max_boxes + 1))):
-            bw = int(rng.integers(box_size[0], box_size[1]))
-            bh = int(rng.integers(box_size[0], box_size[1]))
+        n_targets = 1 if runway else int(rng.integers(1, max_boxes + 1))
+        for _ in range(n_targets):
+            if runway:
+                # One long thin rectangle: 3-6 patch-lengths (patch 64)
+                # along a random axis, sub-patch thickness.
+                horizontal = bool(rng.integers(0, 2))
+                axis_max = (w if horizontal else h) - 1
+                length = int(rng.integers(192, min(384, axis_max) + 1))
+                thick = int(rng.integers(16, 41))
+                bw, bh = (length, thick) if horizontal else (thick, length)
+            else:
+                bw = int(rng.integers(box_size[0], box_size[1]))
+                bh = int(rng.integers(box_size[0], box_size[1]))
             x1 = int(rng.integers(0, w - bw))
             y1 = int(rng.integers(0, h - bh))
             if context:

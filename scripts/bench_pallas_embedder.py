@@ -44,7 +44,7 @@ def xla_dwblock(x, dw, g1, b1, m1, v1, pw, g2, b2, m2, v2, eps=1e-3):
     )
     return bn_silu(
         jax.lax.conv_general_dilated(
-            mid, pw, (1, 1), "SAME",
+            mid.astype(pw.dtype), pw, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ),
         g2, b2, m2, v2,

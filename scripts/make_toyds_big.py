@@ -32,6 +32,12 @@ def main() -> None:
         help="target edge-length range in px; 12 40 gives the LARD-like "
         "sub-patch box/patch ratio variant (/root/toyds_lardlike)",
     )
+    parser.add_argument(
+        "--runway", action="store_true",
+        help="LARD runway TOPOLOGY variant (/root/toyds_runway): one "
+        "elongated contiguous target spanning 3-6 patches in a line per "
+        "image (overrides --box-size)",
+    )
     args = parser.parse_args()
     path = generate_toy_dataset(
         args.out_dir,
@@ -41,6 +47,7 @@ def main() -> None:
         seed=0,
         context=True,
         box_size=tuple(args.box_size),
+        runway=args.runway,
     )
     print(f"wrote {path}")
 
