@@ -1,28 +1,30 @@
-"""Pallas fused conv blocks for the rollout embedder (TPU, eval-mode BN).
+"""Pallas fused conv blocks — MEASURED NEGATIVE, not wired (round 5).
 
-Round-4 measurement (docs/experiment_log.md 2026-08-20 Pallas entries):
-the known-good kernel shape — 1D grid, one program per image, 9 STATIC
-unrolled taps im2col'd as VMEM values, one dot, no
-``pl.when``/``scratch_shapes``/output revisiting — executes safely on the
-tunneled runtime and beats XLA's conv emission at the embedder's
-large-spatial / sub-32-channel stages. These kernels extend that shape to
-the patterns the rollout embedder actually runs (reference detector stack:
-upstream YOLOX consumed by reference src/models/yolox.py:63-73):
+Status (docs/experiment_log.md 2026-08-20/21 Pallas entries): these
+kernels are numerics-correct and safe on the tunneled runtime (1D grid,
+one program per image, 9 STATIC unrolled taps, one dot, no
+``pl.when``/``scratch_shapes``/output revisiting), but they are NOT used
+by the product path, and the round-5 measurements say they should not be:
 
-- ``conv3x3_bn_silu``: dense 3x3 (stride 1) + folded BatchNorm + SiLU.
-- ``dwblock_bn_silu``: the nano ``DWConv`` block — depthwise 3x3 + BN +
-  SiLU + pointwise 1x1 + BN + SiLU — in ONE VMEM pass, eliminating the
-  HBM round trip between the two convs.
+- ``dwblock_bn_silu`` (the nano ``DWConv`` block fused in one VMEM pass)
+  loses 1.1-4.1x to XLA at every REAL embedder stage shape at the
+  headline workload (B=128, 448px: 112x112x32 -> 14x14x256;
+  scripts/bench_pallas_embedder.py). The depthwise taps are lane-wasted
+  VPU work at C-minor layouts; XLA's emission is better.
+- ``conv3x3_bn_silu``'s round-4 smoke wins (56x56, 16->32 channels) are
+  at shapes that do NOT occur in the real nano embedder — the only dense
+  stride-1 3x3 on that path is the Focus stem (224x224, 12->16), which
+  (a) does not fit this kernel's single-program VMEM im2col and (b) runs
+  under XLA at ~27.6 TF/s (scripts/bench_embedder_stages.py), ABOVE the
+  ~18.7 TF/s ceiling of this kernel's im2col formulation at K=16 (output
+  lanes 16/128).
 
-Both are EVAL-MODE (BatchNorm folded to per-channel scale/bias): exactly
-the rollout path, where the embedder always runs with running statistics
-(train-mode BN needs cross-image batch moments, which a per-image grid
-cannot produce). Training's detection branch stays on the XLA path.
-
-Gating: ``models/yolox.py`` consults ``JOLINEEDLE_PALLAS_CONV=1`` (default
-OFF) and uses these only on TPU, eval-mode, stride-1 call sites; numerics
-are pinned against the XLA path by tests/test_pallas_conv.py in interpret
-mode on CPU.
+They are kept as a measured-negative archive with pinned numerics
+(tests/test_pallas_conv.py, interpret mode on CPU) so the next attempt
+starts from working kernels and recorded losing shapes, not from scratch.
+Both are EVAL-MODE (BatchNorm folded to per-channel scale/bias).
+Reference detector stack these would have served: upstream YOLOX consumed
+by reference src/models/yolox.py:63-73.
 """
 
 from __future__ import annotations
