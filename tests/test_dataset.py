@@ -183,3 +183,28 @@ def test_toy_dataset_box_size_range(tmp_path):
             assert 12 <= x2 - x1 < 40 and 12 <= y2 - y1 < 40
             n_boxes += 1
     assert n_boxes >= 5
+
+
+def test_toy_dataset_runway_topology(tmp_path):
+    """The runway variant emits exactly ONE elongated contiguous target per
+    image, 3-6 patch-LENGTHS long and sub-2-patch thick at patch 64 — the
+    LARD runway topology probe (docs/experiment_log.md round 5)."""
+    from jolineedle_tpu.data.toy import generate_toy_dataset
+
+    out = generate_toy_dataset(
+        tmp_path / "toy", n_train=4, n_test=2, image_size=(320, 448),
+        seed=3, context=True, runway=True,
+    )
+    for bbox_file in (out / "bboxes").glob("*.txt"):
+        lines = bbox_file.read_text().splitlines()
+        assert len(lines) == 1  # one target per image
+        _, x1, y1, x2, y2 = map(int, lines[0].split())
+        long_edge = max(x2 - x1, y2 - y1)
+        short_edge = min(x2 - x1, y2 - y1)
+        assert 192 <= long_edge <= 384  # 3-6 patch lengths
+        assert 16 <= short_edge <= 40  # sub-patch thickness
+        # Spans >=3 patch cells along the long axis at patch 64.
+        if x2 - x1 >= y2 - y1:
+            assert (x2 - 1) // 64 - x1 // 64 + 1 >= 3
+        else:
+            assert (y2 - 1) // 64 - y1 // 64 + 1 >= 3
