@@ -30,6 +30,7 @@ the patch-embedder YOLOX variant (default yolox-nano; the reference's
 headline LARD pairing used yolox-s, reference: docs/experiment_log.md:27).
 The yolox-s pairing is ALSO measured every full run and reported as the
 ``secondary`` block of the same JSON line (BENCH_SECONDARY=0 disables,
+=1 means the default yolox-s, any other value names the variant;
 BENCH_SECONDARY_ITERS sizes it) — the driver artifact then carries both
 the nano floor and the reference-headline pairing.
 """
