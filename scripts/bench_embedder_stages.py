@@ -99,9 +99,36 @@ def timed_loop(stage, reps=20):
     return best / reps
 
 
+def yolox_s_stages():
+    """yolox-s (width 0.5, dense) backbone+PAFPN stage ops at 448px, B=128
+    — the bench secondary pairing's embedder (VERDICT r4 task 5)."""
+    return [
+        ("null (loop overhead)", make_stage(112, 32, 32, "null"), 0),
+        ("focus_conv 224x12->32", make_stage(224, 12, 32, "dense3x3"), 1),
+        ("down2 224x32->64 s2", make_stage(224, 32, 64, "dense3x3", 2), 1),
+        ("csp2_3x3 112x32->32", make_stage(112, 32, 32, "dense3x3"), 1),
+        ("csp2_1x1 112x64->32", make_stage(112, 64, 32, "pw1x1"), 3),
+        ("down3 112x64->128 s2", make_stage(112, 64, 128, "dense3x3", 2), 1),
+        ("csp3_3x3 56x64->64", make_stage(56, 64, 64, "dense3x3"), 3),
+        ("csp3_1x1 56x128->64", make_stage(56, 128, 64, "pw1x1"), 3),
+        ("down4 56x128->256 s2", make_stage(56, 128, 256, "dense3x3", 2), 1),
+        ("csp4_3x3 28x128->128", make_stage(28, 128, 128, "dense3x3"), 3),
+        ("csp4_1x1 28x256->128", make_stage(28, 256, 128, "pw1x1"), 3),
+        ("down5 28x256->512 s2", make_stage(28, 256, 512, "dense3x3", 2), 1),
+        ("csp5_3x3 14x256->256", make_stage(14, 256, 256, "dense3x3"), 1),
+        ("csp5_1x1 14x512->256", make_stage(14, 512, 256, "pw1x1"), 3),
+        ("pafpn_3x3 56x64->64", make_stage(56, 64, 64, "dense3x3"), 2),
+        ("pafpn_3x3 28x128->128", make_stage(28, 128, 128, "dense3x3"), 2),
+        ("pafpn_down 56x64->64 s2", make_stage(56, 64, 64, "dense3x3", 2), 1),
+        ("pafpn_down 28x128->128 s2", make_stage(28, 128, 128, "dense3x3", 2), 1),
+    ]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--variant", default="yolox-nano",
+                    choices=["yolox-nano", "yolox-s"])
     args = ap.parse_args()
 
     # nano embedder (yolox-nano backbone+PAFPN, eval) at 448px, B=128.
@@ -128,15 +155,31 @@ def main():
         ("pafpn_down 56x64->64", make_stage(56, 64, 64, "dwblock", 2), 1),
         ("pafpn_down 28x128->128", make_stage(28, 128, 128, "dwblock", 2), 1),
     ]
+    if args.variant == "yolox-s":
+        stages = yolox_s_stages()
 
     total = 0.0
     for name, stage, count in stages:
         t = timed_loop(stage, args.reps)
         total += t * count
-        print(json.dumps({
+        # FLOPs for the dense/pw stages so the printout carries achieved
+        # TF/s directly (dw left out: negligible MXU work).
+        shape, ws, _ = stage
+        B, H, _, C = shape
+        flops = None
+        if len(ws) == 1 and ws[0].ndim == 4 and ws[0].shape[0] in (1, 3):
+            k = ws[0]
+            stride = 1
+            if "s2" in name or name.startswith("down"):
+                stride = 2
+            flops = 2 * B * (H // stride) ** 2 * k.shape[0] * k.shape[1] * C * k.shape[-1]
+        rec = {
             "stage": name, "us": round(t * 1e6, 1), "count": count,
             "total_us": round(t * count * 1e6, 1),
-        }), flush=True)
+        }
+        if flops:
+            rec["tflops_per_s"] = round(flops / t / 1e12, 1)
+        print(json.dumps(rec), flush=True)
     print(json.dumps({"sum_us": round(total * 1e6, 1)}), flush=True)
 
 
